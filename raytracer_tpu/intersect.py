@@ -135,7 +135,9 @@ def sphere_hits_batch(origin, direction, scene: Scene, pack: ScenePack,
     c = oo[:, None] - 2.0 * oc_c + pack.center_sq_minus_r2[None, :]
     disc = half_b * half_b - c
     has_root = disc >= 0.0
-    sq = jnp.sqrt(jnp.where(has_root, disc, 0.0))
+    # guard value must be POSITIVE: sqrt'(0) = inf would leak NaN into
+    # the cotangents of masked lanes (inf * 0 upstream zero)
+    sq = maths.safe_sqrt(jnp.where(has_root, disc, 1.0))
     root1 = -half_b - sq
     root2 = -half_b + sq
     # min root in the open interval (t_min, inf): root1 <= root2 always,
@@ -208,7 +210,7 @@ def closest_hit_batch(origin, direction, scene: Scene, pack: ScenePack,
     cen = scene.sphere_center[si]
     rad = scene.sphere_radius[si][:, None]
     sph_raw = (position - cen) / jnp.where(rad == 0.0, 1.0, rad)
-    ln = jnp.sqrt(jnp.sum(sph_raw * sph_raw, axis=-1, keepdims=True))
+    ln = maths.safe_sqrt(jnp.sum(sph_raw * sph_raw, axis=-1, keepdims=True))
     sph_n = sph_raw / jnp.where(ln == 0.0, 1.0, ln)
     tri_n = pack.unit_normal[ti]
     normal = jnp.where(tri_wins[:, None], tri_n, sph_n)
@@ -235,7 +237,9 @@ def closest_hit_exact(origin, direction, scene: Scene,
     c = jnp.sum(oc * oc, axis=-1) - scene.sphere_radius * scene.sphere_radius
     disc = half_b * half_b - c
     has_root = disc >= 0.0
-    sq = jnp.sqrt(jnp.where(has_root, disc, 0.0))
+    # guard value must be POSITIVE: sqrt'(0) = inf would leak NaN into
+    # the cotangents of masked lanes (inf * 0 upstream zero)
+    sq = maths.safe_sqrt(jnp.where(has_root, disc, 1.0))
     root1 = -half_b - sq
     root2 = -half_b + sq
     ts = jnp.where(root1 > T_MIN, root1, jnp.where(root2 > T_MIN, root2, INF))
@@ -274,7 +278,7 @@ def closest_hit_exact(origin, direction, scene: Scene,
     cen = scene.sphere_center[si]
     rad = scene.sphere_radius[si]
     sph_raw = (position - cen) / jnp.where(rad == 0.0, 1.0, rad)
-    ln = jnp.sqrt(jnp.sum(sph_raw * sph_raw))
+    ln = maths.safe_sqrt(jnp.sum(sph_raw * sph_raw))
     sph_n = sph_raw / jnp.where(ln == 0.0, 1.0, ln)
     tri_unit_n = triangle_normals(scene)[ti]
     normal = jnp.where(tri_wins, tri_unit_n, sph_n)

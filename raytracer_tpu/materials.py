@@ -124,14 +124,14 @@ def scatter_exact(materials: Materials, mat_idx, ray_direction, normal,
     sq = jnp.sum(dif_raw * dif_raw)
     # reference normalizes via x / sqrt(len^2) (maths.rs:111-118); use the
     # same form (not rsqrt) for bit parity
-    ln = jnp.sqrt(jnp.where(sq == 0.0, 1.0, sq))
+    ln = maths.safe_sqrt(jnp.where(sq == 0.0, 1.0, sq))
     dif_dir = jnp.where(degenerate, normal, dif_raw / ln)
 
     reflected = maths.reflect(ray_direction, normal)
     met_raw = reflected + fuzz * rand_unit
     met_keep = jnp.sum(met_raw * normal) >= 0.0
     msq = jnp.sum(met_raw * met_raw)
-    mln = jnp.sqrt(jnp.where(msq == 0.0, 1.0, msq))
+    mln = maths.safe_sqrt(jnp.where(msq == 0.0, 1.0, msq))
     met_dir = jnp.where(msq == 0.0, normal, met_raw / mln)
 
     inside = jnp.sum(ray_direction * normal) >= 0.0
@@ -139,7 +139,7 @@ def scatter_exact(materials: Materials, mat_idx, ray_direction, normal,
     ratio = jnp.where(inside, 1.0 / ir, ir)
     refracted = maths.refract(ray_direction, n_eff, ratio)
     rsq = jnp.sum(refracted * refracted)
-    rln = jnp.sqrt(jnp.where(rsq == 0.0, 1.0, rsq))
+    rln = maths.safe_sqrt(jnp.where(rsq == 0.0, 1.0, rsq))
     die_dir = jnp.where(rsq == 0.0, n_eff, refracted / rln)
 
     is_dif = kind == DIFFUSE

@@ -20,13 +20,38 @@ Semantics preserved from the reference (needed for allclose parity):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
     "dot", "cross", "length", "length_squared", "normalize", "near_zero",
-    "reflect", "refract", "project", "lerp", "vec3",
+    "reflect", "refract", "project", "lerp", "vec3", "safe_sqrt",
     "X_AXIS", "Y_AXIS", "Z_AXIS",
 ]
+
+
+@jax.custom_jvp
+def safe_sqrt(x):
+    """sqrt with derivative 0 at x == 0 (instead of inf).
+
+    The PRIMAL is bit-identical to jnp.sqrt — only the tangent rule changes,
+    so parity-mode renders are unaffected.  Needed because sqrt shows up on
+    exactly-zero inputs on masked/grazing lanes (e.g. refract's
+    ``sqrt(abs(1 - |r_perp|^2))`` when 1 - cos^2 rounds to 1.0 in f32), and
+    inf * 0 cotangents become NaN inside ``lax.scan`` transposes, where
+    structurally-zero cotangents are materialized numeric zeros rather than
+    being DCE'd as they are in unrolled code.
+    """
+    return jnp.sqrt(x)
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    y = jnp.sqrt(x)
+    positive = x > 0
+    dydx = jnp.where(positive, 0.5 / jnp.where(positive, y, 1.0), 0.0)
+    return y, dydx * t
 
 
 def vec3(x, y, z, dtype=jnp.float32):
@@ -98,7 +123,7 @@ def refract(uv, n, etai_over_etat):
     cos_theta = dot(-uv, n)[..., None]
     r_out_perp = eta * (uv + cos_theta * n)
     r_out_parallel = (
-        -jnp.sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
+        -safe_sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
     )
     return r_out_perp + r_out_parallel
 

@@ -1,0 +1,88 @@
+"""Sharded rendering: rays across the device mesh, scene replicated.
+
+This is the framework's scale-out layer (SURVEY.md §2.4): the reference's
+scanline loop becomes a pixel-flat ray batch sharded over a 1-D ``rays``
+mesh with ``shard_map``.  The scene pytree is replicated (it is tiny and
+read-only in HBM), every device traces its pixel chunk independently, and the
+only collective in the forward pass is the stats ``psum``.  Under reverse-mode
+AD the replicated scene parameters automatically receive a gradient ``psum``
+over the same axis — the gradient all-reduce rides ICI and XLA overlaps it
+with the backward scan.
+
+Pixel counts that don't divide the device count are padded with dead lanes
+(``active=False`` — they trace nothing and are sliced off the result).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .. import render as render_mod
+from ..camera import Camera
+from ..render import Options, accumulate_samples, finalize_image
+from ..scene import Scene
+from .mesh import RAYS_AXIS, make_mesh, pad_to_multiple
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "samples_per_pixel", "depth",
+                     "parity_plane_sign"))
+def render_linear_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
+                          width: int, height: int, samples_per_pixel: int,
+                          depth: int, parity_plane_sign: bool = True,
+                          seed: jax.Array | int = 0):
+    """Sharded ``render_linear``: mean radiance [H, W, 3] + segment count.
+
+    Differentiable w.r.t. scene arrays; the backward pass all-reduces scene
+    gradients across the ``rays`` axis automatically.
+    """
+    n = mesh.shape[RAYS_AXIS]
+    npix = height * width
+    npad = pad_to_multiple(npix, n)
+    pix = jnp.arange(npad, dtype=jnp.int32)
+    seed_word = jnp.uint32(seed) * render_mod._SEED_MIX
+
+    # check_vma=False: the scan carries inside accumulate_samples are
+    # constant-initialized (zeros), which the varying-manual-axes checker
+    # would otherwise require explicit pcasts for
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(RAYS_AXIS)),
+        out_specs=(P(RAYS_AXIS), P()),
+        check_vma=False)  # scan carries are constant-initialized zeros
+    def run(scene_rep, camera_rep, pix_chunk):
+        active = pix_chunk < npix
+        safe = jnp.minimum(pix_chunk, npix - 1)
+        rows = safe // width
+        cols = safe % width
+        img_sum, segments = accumulate_samples(
+            scene_rep, camera_rep, rows, cols, width, height,
+            samples_per_pixel, depth, parity_plane_sign, seed_word,
+            active=active)
+        return img_sum, jax.lax.psum(segments, RAYS_AXIS)
+
+    img_sum, segments = run(scene, camera, pix)
+    mean = img_sum[:npix] * (1.0 / samples_per_pixel)
+    return mean.reshape(height, width, 3), segments
+
+
+def ray_trace_sharded(scene: Scene, camera: Camera, width: int, height: int,
+                      options: Options | None = None,
+                      mesh: Mesh | None = None) -> Tuple[np.ndarray, int]:
+    """Sharded equivalent of ``render.ray_trace`` (u8 RGBA output)."""
+    options = options or Options()
+    mesh = mesh or make_mesh()
+    mean, segments = render_linear_sharded(
+        scene, camera, mesh=mesh, width=width, height=height,
+        samples_per_pixel=options.samples_per_pixel,
+        depth=options.max_ray_bounces,
+        parity_plane_sign=options.parity_plane_sign, seed=options.seed)
+    return np.asarray(finalize_image(mean)), int(segments)

@@ -114,18 +114,24 @@ def _bounce_step(scene: Scene, pack: intersect.ScenePack, pix_id, sample_id,
 
 
 def trace_rays(scene: Scene, pack: intersect.ScenePack, origin, direction,
-               pix_id, sample_id, depth: int, parity_plane_sign: bool = True):
+               pix_id, sample_id, depth: int, parity_plane_sign: bool = True,
+               active=None):
     """ray_color (common.rs:263-285) for a whole wavefront.
+
+    ``active``: optional [B] bool — rays that should trace at all (padding
+    lanes in the sharded path start dead and contribute nothing).
 
     Returns (radiance [B, 3], segments [] int32 — rays traced, for rays/s
     accounting).
     """
     B = origin.shape[0]
+    if active is None:
+        active = jnp.ones((B,), bool)
     init = (
         origin, direction,
         jnp.ones((B, 3), jnp.float32),          # throughput
         jnp.zeros((B, 3), jnp.float32),         # result
-        jnp.ones((B,), bool),                   # alive
+        active,                                 # alive
         jnp.int32(0),                           # segments
     )
     step = functools.partial(_bounce_step, scene, pack, pix_id, sample_id,
@@ -137,15 +143,14 @@ def trace_rays(scene: Scene, pack: intersect.ScenePack, origin, direction,
 
 
 def _sample_wavefront(scene: Scene, pack: intersect.ScenePack, camera: Camera,
-                      width: int, height: int, depth: int,
-                      parity_plane_sign: bool, seed_word, sample_idx):
-    """Generate and trace one sample's wavefront over all pixels.
+                      rows, cols, width: int, height: int, depth: int,
+                      parity_plane_sign: bool, seed_word, sample_idx,
+                      active=None):
+    """Generate and trace one sample's wavefront over the given pixels.
 
     Jitter matches common.rs:335-336: u=(col+rand)/(width-1),
     v=(row+rand)/(height-1), with rows in render (not flipped) order.
     """
-    rows = jnp.repeat(jnp.arange(height, dtype=jnp.int32), width)
-    cols = jnp.tile(jnp.arange(width, dtype=jnp.int32), height)
     pix_id = (rows * width + cols).astype(jnp.uint32) + seed_word
     s_id = sample_idx.astype(jnp.uint32)
 
@@ -154,7 +159,32 @@ def _sample_wavefront(scene: Scene, pack: intersect.ScenePack, camera: Camera,
     v = (rows.astype(jnp.float32) + vr) / jnp.float32(height - 1)
     origin, direction = camera.cast_rays(u, v)
     return trace_rays(scene, pack, origin, direction, pix_id, s_id, depth,
-                      parity_plane_sign)
+                      parity_plane_sign, active=active)
+
+
+def accumulate_samples(scene: Scene, camera: Camera, rows, cols,
+                       width: int, height: int, samples_per_pixel: int,
+                       depth: int, parity_plane_sign: bool, seed_word,
+                       active=None):
+    """Sum per-sample radiance over the sample axis for an arbitrary pixel
+    subset — the shared core of the single-device and sharded renderers.
+
+    Returns (radiance_sum [B, 3], segments [] int32).
+    """
+    pack = intersect.pack_scene(scene)
+
+    def body(acc, sample_idx):
+        img_sum, segments = acc
+        radiance, segs = _sample_wavefront(
+            scene, pack, camera, rows, cols, width, height, depth,
+            parity_plane_sign, seed_word, sample_idx, active=active)
+        return (img_sum + radiance, segments + segs), None
+
+    B = rows.shape[0]
+    init = (jnp.zeros((B, 3), jnp.float32), jnp.int32(0))
+    (img_sum, segments), _ = jax.lax.scan(
+        body, init, jnp.arange(samples_per_pixel, dtype=jnp.int32))
+    return img_sum, segments
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height",
@@ -170,19 +200,12 @@ def render_linear(scene: Scene, camera: Camera, *, width: int, height: int,
     This is the differentiable quantity: gamma / u8 quantization live in
     ``finalize_image``.
     """
-    pack = intersect.pack_scene(scene)
     seed_word = (jnp.uint32(seed) * _SEED_MIX)
-
-    def body(acc, sample_idx):
-        img_sum, segments = acc
-        radiance, segs = _sample_wavefront(
-            scene, pack, camera, width, height, depth, parity_plane_sign,
-            seed_word, sample_idx)
-        return (img_sum + radiance, segments + segs), None
-
-    init = (jnp.zeros((height * width, 3), jnp.float32), jnp.int32(0))
-    (img_sum, segments), _ = jax.lax.scan(
-        body, init, jnp.arange(samples_per_pixel, dtype=jnp.int32))
+    rows = jnp.repeat(jnp.arange(height, dtype=jnp.int32), width)
+    cols = jnp.tile(jnp.arange(width, dtype=jnp.int32), height)
+    img_sum, segments = accumulate_samples(
+        scene, camera, rows, cols, width, height, samples_per_pixel, depth,
+        parity_plane_sign, seed_word)
     mean = img_sum * (1.0 / samples_per_pixel)
     return mean.reshape(height, width, 3), segments
 

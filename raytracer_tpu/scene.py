@@ -146,5 +146,5 @@ def triangle_normals(scene: Scene) -> jax.Array:
     a = scene.tri_v1 - scene.tri_v0
     b = scene.tri_v2 - scene.tri_v0
     n = maths.cross(a, b)
-    ln = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True))
+    ln = maths.safe_sqrt(jnp.sum(n * n, axis=-1, keepdims=True))
     return n / jnp.where(ln == 0.0, 1.0, ln)

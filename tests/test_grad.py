@@ -1,0 +1,184 @@
+"""Gradient correctness (BASELINE: AD vs finite differences) and inverse
+rendering.
+
+Methodology: AD through the renderer yields almost-everywhere gradients that
+exclude visibility-boundary (silhouette) terms, so finite-difference
+comparisons mask the loss to silhouette-interior pixels where shading is a
+smooth function of geometry.  Albedo/color gradients have no visibility
+dependence and are validated unmasked.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu import grad as gradmod, intersect
+
+
+def interior_mask(scene, cam, W, H, erode=2):
+    """Pixels whose center ray hits, eroded to stay off silhouettes."""
+    rows = np.repeat(np.arange(H), W)
+    cols = np.tile(np.arange(W), H)
+    u = (cols + 0.5) / np.float32(W - 1)
+    v = (rows + 0.5) / np.float32(H - 1)
+    o, d = cam.cast_rays(jnp.asarray(u, jnp.float32), jnp.asarray(v, jnp.float32))
+    hit = np.asarray(
+        intersect.closest_hit_batch(o, d, scene, intersect.pack_scene(scene)).hit
+    ).reshape(H, W)
+    m = hit.copy()
+    for _ in range(erode):
+        m = (m & np.roll(m, 1, 0) & np.roll(m, -1, 0)
+             & np.roll(m, 1, 1) & np.roll(m, -1, 1))
+    return jnp.asarray(m)
+
+
+def masked_loss_fn(scene, cam, target, mask, W, H, spp, depth, seed):
+    def loss(params):
+        s = gradmod.apply_params(scene, params)
+        img, _ = rt.render_linear(s, cam, width=W, height=H,
+                                  samples_per_pixel=spp, depth=depth,
+                                  seed=seed)
+        diff = (img - target) * mask[:, :, None]
+        return jnp.mean(diff * diff)
+    return loss
+
+
+def _cos(a, b):
+    a = np.asarray(a).ravel()
+    b = np.asarray(b).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+MIRROR_SRC = """camera origin 0.0 0.0 0.0 aspect 1.0;
+material MIRROR : Metal color 0.9 0.8 0.7 fuzz 0.0;
+sphere center 0.0 0.0 -2.0 radius 0.9 material MIRROR;
+"""
+
+
+class TestFiniteDifferences:
+    def test_geometry_grads_match_fd(self):
+        # mirror-on-sky: shading smooth in the silhouette interior
+        w = rt.parse_input(MIRROR_SRC)
+        scene, cam = w.to_scene(), w.to_camera()
+        W = H = 24
+        mask = interior_mask(scene, cam, W, H)
+        assert int(mask.sum()) > 20
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=2, seed=5)
+        loss = masked_loss_fn(scene, cam, target, mask, W, H, 2, 2, 5)
+        params = gradmod.extract_params(scene, ["sphere_center",
+                                                "sphere_radius"])
+        params["sphere_center"] = params["sphere_center"] + \
+            jnp.asarray([[0.03, -0.02, 0.04]])
+        params["sphere_radius"] = params["sphere_radius"] * 1.05
+        ad = jax.grad(loss)(params)
+        fd = gradmod.finite_diff_grad(loss, params, eps=1e-3)
+        assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(ad))
+        assert _cos(ad["sphere_center"], fd["sphere_center"]) > 0.999
+        assert _cos(ad["sphere_radius"], fd["sphere_radius"]) > 0.999
+
+    def test_albedo_grads_match_fd_unmasked(self, default_world):
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        W = H = 16
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=3, seed=7)
+        loss = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                    samples_per_pixel=2, depth=3, seed=7)
+        params = gradmod.extract_params(scene, ["mat_color"])
+        params["mat_color"] = params["mat_color"] * 0.8
+        ad = jax.grad(loss)(params)
+        fd = gradmod.finite_diff_grad(loss, params, eps=1e-3)
+        assert bool(jnp.isfinite(ad["mat_color"]).all())
+        assert _cos(ad["mat_color"], fd["mat_color"]) > 0.999
+
+    def test_grads_finite_full_default_world(self, default_world):
+        # all four material types present; grads must be NaN-free
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        W = H = 16
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=6, seed=0)
+        loss = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                    samples_per_pixel=2, depth=6, seed=0)
+        params = gradmod.extract_params(
+            scene, ["sphere_center", "sphere_radius", "mat_color",
+                    "mat_fuzz", "mat_ir"])
+        params = jax.tree.map(lambda x: x * 1.01, params)
+        ad = jax.grad(loss)(params)
+        for k, g in ad.items():
+            assert bool(jnp.isfinite(g).all()), f"non-finite grad in {k}"
+
+    def test_triangle_vertex_grads_finite(self, ffi_world):
+        scene = ffi_world.to_scene()
+        cam = ffi_world.to_camera()
+        W = H = 12
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=1, depth=3, seed=1)
+        loss = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                    samples_per_pixel=1, depth=3, seed=1)
+        params = gradmod.extract_params(scene, ["tri_v0", "tri_v1", "tri_v2"])
+        params = jax.tree.map(lambda x: x + 0.01, params)
+        ad = jax.grad(loss)(params)
+        for k, g in ad.items():
+            assert bool(jnp.isfinite(g).all()), f"non-finite grad in {k}"
+
+
+class TestInverseRendering:
+    def test_fit_recovers_albedo(self):
+        # BASELINE config 4 (albedo recovery slice): perturb albedo, descend
+        w = rt.models.sphere_and_ground()
+        scene, cam = w.to_scene(), w.to_camera()
+        W = H = 16
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=2, seed=2)
+        params0 = gradmod.extract_params(scene, ["mat_color"])
+        true_color = np.asarray(params0["mat_color"])
+        params0["mat_color"] = params0["mat_color"] * 0.5
+        result = gradmod.fit(scene, cam, target, params0, width=W, height=H,
+                             samples_per_pixel=2, depth=2, steps=60,
+                             learning_rate=5e-2, seed=2)
+        assert result.losses[-1] < result.losses[0] * 0.05
+        got = np.asarray(result.params["mat_color"])
+        assert np.abs(got - true_color).max() < 0.12
+
+    def test_fit_reduces_center_error(self):
+        w = rt.parse_input(MIRROR_SRC)
+        scene, cam = w.to_scene(), w.to_camera()
+        W = H = 16
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=2, seed=4)
+        params0 = gradmod.extract_params(scene, ["sphere_center"])
+        true_c = np.asarray(params0["sphere_center"])
+        params0["sphere_center"] = params0["sphere_center"] + \
+            jnp.asarray([[0.05, -0.04, 0.0]])
+        err0 = float(np.abs(np.asarray(params0["sphere_center"]) - true_c).max())
+        result = gradmod.fit(scene, cam, target, params0, width=W, height=H,
+                             samples_per_pixel=2, depth=2, steps=80,
+                             learning_rate=1e-2, seed=4)
+        err1 = float(np.abs(np.asarray(result.params["sphere_center"]) - true_c).max())
+        assert result.losses[-1] < result.losses[0]
+        assert err1 < err0
+
+    def test_checkpoint_resume(self, tmp_path):
+        w = rt.models.sphere_and_ground()
+        scene, cam = w.to_scene(), w.to_camera()
+        W = H = 8
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=1, depth=2, seed=9)
+        params0 = gradmod.extract_params(scene, ["mat_color"])
+        params0["mat_color"] = params0["mat_color"] * 0.6
+        ck = str(tmp_path / "ck.npz")
+        r1 = gradmod.fit(scene, cam, target, params0, width=W, height=H,
+                         samples_per_pixel=1, depth=2, steps=10,
+                         checkpoint_path=ck, checkpoint_every=5, seed=9)
+        # resume from step 10 to 15
+        r2 = gradmod.fit(scene, cam, target, params0, width=W, height=H,
+                         samples_per_pixel=1, depth=2, steps=15,
+                         checkpoint_path=ck, checkpoint_every=5, seed=9)
+        assert r2.steps_run == 5  # resumed, not restarted
+        assert len(r2.losses) == 15
