@@ -34,8 +34,10 @@ def main() -> int:
     scene = world.to_scene()
     camera = world.to_camera()
 
+    from raytracer_tpu import ops as ops_mod
+
     def run(seed):
-        img, segments = rt.render_linear(
+        img, segments = ops_mod.render_linear_fast(
             scene, camera, width=WIDTH, height=HEIGHT,
             samples_per_pixel=SPP, depth=DEPTH, seed=seed)
         return img, segments

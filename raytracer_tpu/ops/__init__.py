@@ -1,0 +1,63 @@
+"""Custom ops: the fused Pallas render kernel + engine dispatch.
+
+``render_linear_fast`` picks the fastest available engine for a forward
+render: the fused Pallas TPU megakernel when running on TPU and the scene
+fits its SMEM scene-table limits, else the XLA wavefront path (which is also
+the differentiable path — the kernel is forward-only until it grows a custom
+VJP).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from .. import render as render_mod
+from ..camera import Camera
+from ..scene import Scene
+
+# SMEM scene-table budgets (f32 rows x primitives; v5e SMEM is tens of KB)
+MAX_PALLAS_SPHERES = 1024
+MAX_PALLAS_TRIS = 512
+
+
+def backend_is_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu",)
+    except Exception:
+        return False
+
+
+def can_use_pallas(scene: Scene) -> bool:
+    return (backend_is_tpu()
+            and scene.num_spheres <= MAX_PALLAS_SPHERES
+            and scene.num_triangles <= MAX_PALLAS_TRIS)
+
+
+def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
+                       height: int, samples_per_pixel: int, depth: int,
+                       seed: int = 0, parity_plane_sign: bool = True,
+                       engine: str = "auto"):
+    """Mean linear radiance [H, W, 3] + segment count, fastest engine.
+
+    engine: "auto" | "pallas" | "xla".
+    """
+    if engine == "auto":
+        engine = "pallas" if can_use_pallas(scene) else "xla"
+    if engine == "pallas":
+        from .pallas import wavefront as wf
+        sph = jnp.asarray(wf.pack_spheres(scene))
+        tri = jnp.asarray(wf.pack_triangles(scene))
+        cv = wf.camera_vec(camera)
+        mean, segs = wf.render_linear_pallas(
+            sph, tri, cv, width=width, height=height,
+            samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
+            parity_plane_sign=parity_plane_sign)
+        return mean, segs
+    return render_mod.render_linear(
+        scene, camera, width=width, height=height,
+        samples_per_pixel=samples_per_pixel, depth=depth,
+        parity_plane_sign=parity_plane_sign, seed=seed)

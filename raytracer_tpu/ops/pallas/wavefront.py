@@ -1,0 +1,538 @@
+"""Fused Pallas TPU megakernel: the whole path-trace in VMEM.
+
+The XLA wavefront renderer (render.py) materializes the ray state between
+scan steps in HBM; at the bench shape that costs ~100 HBM round trips of
+multi-MB state per sample.  This kernel keeps EVERYTHING resident:
+
+  grid = (pixel blocks,); each block holds BLOCK = R x 128 rays as (R, 128)
+  f32 planes in VMEM/registers, loops samples and bounces with fori_loop,
+  and writes only the final accumulated radiance — HBM traffic is one write
+  of the image per render.
+
+  The scene rides in scalar-prefetch SMEM arrays (spheres: (11, S) —
+  center xyz, radius, r^2, material kind/albedo/fuzz/ir; triangles: (22, T)
+  — plane normal, d, edge-test constants g_k and v_k.g_k, unit normal,
+  material), and the intersection loop walks primitives with a fori_loop of
+  scalar reads broadcast against the ray planes.  Instead of tracking a hit
+  INDEX and gathering afterwards (gathers are expensive on the VPU), the
+  loop maintains the winning primitive's attributes directly in 12 select
+  planes.
+
+Semantics are the reference algorithm exactly as in render.py/_bounce_step
+(common.rs:263-285 bounce rules, materials.rs:42-102 scatter rules,
+common.rs:60-166 intersections, cube-sample RNG distribution) with the same
+pcg3d counter streams, so the kernel agrees with the XLA path to float
+rounding (different FMA contractions; tests use small tolerances).
+
+Limits: S and T must fit in SMEM (fine for the reference scenes and the
+~500-sphere bench config; the big-mesh config falls back to the XLA path —
+see render_fast dispatch in ops/__init__.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...camera import Camera
+from ...scene import Scene, DIFFUSE, METAL, DIELECTRIC, EMISSION
+from ... import intersect as intersect_mod
+
+LANES = 128
+_SEED_MIX = np.uint32(0x85EBCA6B)
+
+# sphere SMEM layout rows
+_SPH_CX, _SPH_CY, _SPH_CZ, _SPH_R, _SPH_R2 = 0, 1, 2, 3, 4
+_SPH_KIND, _SPH_AR, _SPH_AG, _SPH_AB, _SPH_FUZZ, _SPH_IR = 5, 6, 7, 8, 9, 10
+SPH_ROWS = 11
+
+# triangle SMEM layout rows
+(_TRI_NX, _TRI_NY, _TRI_NZ, _TRI_D,
+ _TRI_G0X, _TRI_G0Y, _TRI_G0Z, _TRI_W0,
+ _TRI_G1X, _TRI_G1Y, _TRI_G1Z, _TRI_W1,
+ _TRI_G2X, _TRI_G2Y, _TRI_G2Z, _TRI_W2,
+ _TRI_UNX, _TRI_UNY, _TRI_UNZ,
+ _TRI_KIND, _TRI_AR, _TRI_AG, _TRI_AB) = range(23)
+TRI_ROWS = 23
+
+T_MIN = np.float32(0.001)
+BIG = np.float32(3.0e38)
+
+
+def _pcg3d(x, y, z):
+    mul = jnp.uint32(1664525)
+    add = jnp.uint32(1013904223)
+    x = x * mul + add
+    y = y * mul + add
+    z = z * mul + add
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    return x, y, z
+
+
+def _u01(bits):
+    # top-24-bit mapping, identical to rng.random_f32_from_bits24 (Mosaic
+    # has no uint32->f32 cast; 24 bits fit int32 exactly)
+    b24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
+    i = pltpu.bitcast(b24, jnp.int32)
+    return i.astype(jnp.float32) * jnp.float32(1.0 / 16777215.0)
+
+
+def pack_spheres(scene: Scene) -> np.ndarray:
+    """Host-side (SPH_ROWS, S) f32 table; per-sphere material flattened in."""
+    c = np.asarray(scene.sphere_center, np.float32)
+    r = np.asarray(scene.sphere_radius, np.float32)
+    valid = np.asarray(scene.sphere_valid)
+    mat = np.asarray(scene.sphere_mat)
+    kind = np.asarray(scene.materials.kind, np.float32)[mat]
+    alb = np.asarray(scene.materials.color, np.float32)[mat]
+    fuzz = np.asarray(scene.materials.fuzz, np.float32)[mat]
+    ir = np.asarray(scene.materials.ir, np.float32)[mat]
+    S = c.shape[0]
+    out = np.zeros((SPH_ROWS, S), np.float32)
+    out[_SPH_CX], out[_SPH_CY], out[_SPH_CZ] = c[:, 0], c[:, 1], c[:, 2]
+    out[_SPH_R] = r
+    out[_SPH_R2] = np.where(valid, r * r, -1.0)  # invalid -> r2<0 never hits
+    out[_SPH_KIND] = kind
+    out[_SPH_AR], out[_SPH_AG], out[_SPH_AB] = alb[:, 0], alb[:, 1], alb[:, 2]
+    out[_SPH_FUZZ] = fuzz
+    out[_SPH_IR] = ir
+    # invalid spheres: push center far away AND r2<0 (the r2<0 mask is the
+    # real guard; the far center keeps disc strongly negative)
+    out[_SPH_CX] = np.where(valid, out[_SPH_CX], 1e9)
+    return out
+
+
+def pack_triangles(scene: Scene) -> np.ndarray:
+    """Host-side (TRI_ROWS, T) f32 table of precomputed plane/edge constants
+    (the ScenePack quantities, intersect.py)."""
+    v0 = np.asarray(scene.tri_v0, np.float64)
+    v1 = np.asarray(scene.tri_v1, np.float64)
+    v2 = np.asarray(scene.tri_v2, np.float64)
+    valid = np.asarray(scene.tri_valid)
+    mat = np.asarray(scene.tri_mat)
+    kind = np.asarray(scene.materials.kind, np.float32)[mat]
+    alb = np.asarray(scene.materials.color, np.float32)[mat]
+    n = np.cross(v1 - v0, v2 - v0)
+    d = np.einsum("ij,ij->i", n, v0)
+    g0 = np.cross(n, v1 - v0)
+    g1 = np.cross(n, v2 - v1)
+    g2 = np.cross(n, v0 - v2)
+    w0 = np.einsum("ij,ij->i", v0, g0)
+    w1 = np.einsum("ij,ij->i", v1, g1)
+    w2 = np.einsum("ij,ij->i", v2, g2)
+    ln = np.linalg.norm(n, axis=-1)
+    un = n / np.where(ln[:, None] == 0, 1.0, ln[:, None])
+    T = v0.shape[0]
+    out = np.zeros((TRI_ROWS, T), np.float32)
+    out[_TRI_NX], out[_TRI_NY], out[_TRI_NZ] = n[:, 0], n[:, 1], n[:, 2]
+    out[_TRI_D] = d
+    out[_TRI_G0X], out[_TRI_G0Y], out[_TRI_G0Z] = g0[:, 0], g0[:, 1], g0[:, 2]
+    out[_TRI_W0] = w0
+    out[_TRI_G1X], out[_TRI_G1Y], out[_TRI_G1Z] = g1[:, 0], g1[:, 1], g1[:, 2]
+    out[_TRI_W1] = w1
+    out[_TRI_G2X], out[_TRI_G2Y], out[_TRI_G2Z] = g2[:, 0], g2[:, 1], g2[:, 2]
+    out[_TRI_W2] = w2
+    out[_TRI_UNX], out[_TRI_UNY], out[_TRI_UNZ] = un[:, 0], un[:, 1], un[:, 2]
+    out[_TRI_KIND] = kind
+    out[_TRI_AR], out[_TRI_AG], out[_TRI_AB] = alb[:, 0], alb[:, 1], alb[:, 2]
+    # invalid triangles: zero normal -> parallel test rejects every ray
+    for row in range(TRI_ROWS):
+        out[row] = np.where(valid, out[row], 0.0)
+    return out
+
+
+def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
+                 parity_plane_sign, count_all_lanes):
+    W = np.float32(width)
+    npix = width * height
+    R = block_rows
+    BLOCK = R * LANES
+    inv_w1 = np.float32(width - 1)
+    inv_h1 = np.float32(height - 1)
+
+    def kernel(cam_ref, sph_ref, tri_ref, seed_ref, out_ref):
+        blk = pl.program_id(0)
+        base = (blk * BLOCK).astype(jnp.int32)
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        pix = base + lane_row * LANES + lane_col           # (R,128) int32
+        active0 = pix < npix
+        pix_safe = jnp.minimum(pix, npix - 1)
+        prow = pix_safe // width
+        pcol = pix_safe - prow * width
+        prow_f = prow.astype(jnp.float32)
+        pcol_f = pcol.astype(jnp.float32)
+        pix_u = pix_safe.astype(jnp.uint32) + seed_ref[0]
+
+        ox0 = cam_ref[0]
+        oy0 = cam_ref[1]
+        oz0 = cam_ref[2]
+        llcx, llcy, llcz = cam_ref[3], cam_ref[4], cam_ref[5]
+        hx, hy, hz = cam_ref[6], cam_ref[7], cam_ref[8]
+        vx, vy, vz = cam_ref[9], cam_ref[10], cam_ref[11]
+
+        zero = jnp.zeros((R, LANES), jnp.float32)
+        one = jnp.ones((R, LANES), jnp.float32)
+
+        def trace_sample(s, carry):
+            # NOTE: loop carries are kept to pure f32 vector planes — Mosaic
+            # fails to legalize scf.for with mixed scalar/i1 carries, which
+            # is also why the bounce loop below is a static Python unroll.
+            acc_r, acc_g, acc_b, seg = carry
+            s_u = jnp.uint32(s)
+
+            ju, jv, _ = _pcg3d(pix_u, s_u, jnp.uint32(0))
+            u = (pcol_f + _u01(ju)) / inv_w1
+            v = (prow_f + _u01(jv)) / inv_h1
+
+            dx = llcx + u * hx + v * vx - ox0
+            dy = llcy + u * hy + v * vy - oy0
+            dz = llcz + u * hz + v * vz - oz0
+            dlen = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            dx, dy, dz = dx / dlen, dy / dlen, dz / dlen
+
+            ox = jnp.broadcast_to(ox0, (R, LANES))
+            oy = jnp.broadcast_to(oy0, (R, LANES))
+            oz = jnp.broadcast_to(oz0, (R, LANES))
+
+            tpr = one
+            tpg = one
+            tpb = one
+            rr = zero
+            rg = zero
+            rb = zero
+            alive_f = jnp.where(active0, 1.0, 0.0)
+
+            # bounce loop as fori with ONLY f32 vector carries (Mosaic
+            # can't legalize scf.for with scalar/i1 carries, and a static
+            # unroll at depth 8 explodes compile time)
+            def bounce_body(b, st):
+                (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
+                 rr, rg, rb, alive_f, seg) = st
+                alive = alive_f > 0.5
+                seg = seg + alive_f
+
+                # ---- closest hit over spheres (common.rs:60-98) ----------
+                t_best = jnp.full((R, LANES), BIG)
+                # winning-primitive attribute planes
+                nx = zero
+                ny = zero
+                nz = one
+                kind = zero
+                ar = zero
+                ag = zero
+                ab = zero
+                fz = zero
+                irx = one
+
+                def sph_body(si, hs):
+                    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
+                    cx = sph_ref[_SPH_CX, si]
+                    cy = sph_ref[_SPH_CY, si]
+                    cz = sph_ref[_SPH_CZ, si]
+                    r2 = sph_ref[_SPH_R2, si]
+                    ocx = ox - cx
+                    ocy = oy - cy
+                    ocz = oz - cz
+                    half_b = ocx * dx + ocy * dy + ocz * dz
+                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                    disc = half_b * half_b - cc
+                    ok = (disc >= 0.0) & (r2 > 0.0)
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    root1 = -half_b - sq
+                    root2 = -half_b + sq
+                    t = jnp.where(root1 > T_MIN, root1,
+                                  jnp.where(root2 > T_MIN, root2, BIG))
+                    t = jnp.where(ok, t, BIG)
+                    better = t < t_best
+                    t_best = jnp.where(better, t, t_best)
+                    # sphere normal at p: ((p - c)/r).normalize(); defer to
+                    # after the loop needing (cx, cy, cz, rinv) — store those
+                    nx = jnp.where(better, cx, nx)
+                    ny = jnp.where(better, cy, ny)
+                    nz = jnp.where(better, cz, nz)
+                    kind = jnp.where(better, sph_ref[_SPH_KIND, si], kind)
+                    ar = jnp.where(better, sph_ref[_SPH_AR, si], ar)
+                    ag = jnp.where(better, sph_ref[_SPH_AG, si], ag)
+                    ab = jnp.where(better, sph_ref[_SPH_AB, si], ab)
+                    fz = jnp.where(better, sph_ref[_SPH_FUZZ, si], fz)
+                    irx = jnp.where(better, sph_ref[_SPH_IR, si], irx)
+                    return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
+
+                (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
+                    jax.lax.fori_loop(
+                        0, n_spheres, sph_body,
+                        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx))
+
+                # sphere hit normal from stored center (normalized direction
+                # from center to hit point; sign of r handled by normalize)
+                hpx = ox + t_best * dx
+                hpy = oy + t_best * dy
+                hpz = oz + t_best * dz
+                snx = hpx - nx
+                sny = hpy - ny
+                snz = hpz - nz
+                slen = jnp.sqrt(snx * snx + sny * sny + snz * snz)
+                slen = jnp.where(slen == 0.0, 1.0, slen)
+                nx = snx / slen
+                ny = sny / slen
+                nz = snz / slen
+
+                # ---- triangles (common.rs:124-166 via edge constants) ----
+                if n_tris > 0:
+                    def tri_body(ti, hs):
+                        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
+                        tnx = tri_ref[_TRI_NX, ti]
+                        tny = tri_ref[_TRI_NY, ti]
+                        tnz = tri_ref[_TRI_NZ, ti]
+                        td = tri_ref[_TRI_D, ti]
+                        nd = tnx * dx + tny * dy + tnz * dz
+                        no = tnx * ox + tny * oy + tnz * oz
+                        par = jnp.abs(nd) < 1e-8
+                        nd_safe = jnp.where(par, 1.0, nd)
+                        if parity_plane_sign:
+                            t = (no + td) / nd_safe
+                        else:
+                            t = (td - no) / nd_safe
+                        ok = (~par) & (t >= T_MIN)
+                        g0x = tri_ref[_TRI_G0X, ti]
+                        g0y = tri_ref[_TRI_G0Y, ti]
+                        g0z = tri_ref[_TRI_G0Z, ti]
+                        e0 = (ox * g0x + oy * g0y + oz * g0z
+                              + t * (dx * g0x + dy * g0y + dz * g0z)
+                              - tri_ref[_TRI_W0, ti])
+                        ok &= e0 >= 0.0
+                        g1x = tri_ref[_TRI_G1X, ti]
+                        g1y = tri_ref[_TRI_G1Y, ti]
+                        g1z = tri_ref[_TRI_G1Z, ti]
+                        e1 = (ox * g1x + oy * g1y + oz * g1z
+                              + t * (dx * g1x + dy * g1y + dz * g1z)
+                              - tri_ref[_TRI_W1, ti])
+                        ok &= e1 >= 0.0
+                        g2x = tri_ref[_TRI_G2X, ti]
+                        g2y = tri_ref[_TRI_G2Y, ti]
+                        g2z = tri_ref[_TRI_G2Z, ti]
+                        e2 = (ox * g2x + oy * g2y + oz * g2z
+                              + t * (dx * g2x + dy * g2y + dz * g2z)
+                              - tri_ref[_TRI_W2, ti])
+                        ok &= e2 >= 0.0
+                        # triangle wins ties (<=): common.rs:142 vs World::hit
+                        better = ok & (t <= t_best)
+                        t_best = jnp.where(better, t, t_best)
+                        nx = jnp.where(better, tri_ref[_TRI_UNX, ti], nx)
+                        ny = jnp.where(better, tri_ref[_TRI_UNY, ti], ny)
+                        nz = jnp.where(better, tri_ref[_TRI_UNZ, ti], nz)
+                        kind = jnp.where(better, tri_ref[_TRI_KIND, ti], kind)
+                        ar = jnp.where(better, tri_ref[_TRI_AR, ti], ar)
+                        ag = jnp.where(better, tri_ref[_TRI_AG, ti], ag)
+                        ab = jnp.where(better, tri_ref[_TRI_AB, ti], ab)
+                        fz = jnp.where(better, 0.0, fz)
+                        irx = jnp.where(better, 1.0, irx)
+                        return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
+
+                    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
+                        jax.lax.fori_loop(
+                            0, n_tris, tri_body,
+                            (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx))
+                    hpx = ox + t_best * dx
+                    hpy = oy + t_best * dy
+                    hpz = oz + t_best * dz
+
+                hit = t_best < BIG
+                hpx = jnp.where(hit, hpx, ox)
+                hpy = jnp.where(hit, hpy, oy)
+                hpz = jnp.where(hit, hpz, oz)
+
+                # ---- RNG draw + scatter (materials.rs:30-102) ------------
+                bx, by, bz = _pcg3d(pix_u, s_u, jnp.uint32(1 + b))
+                two = jnp.float32(2.0)
+                onef = jnp.float32(1.0)
+                rx = _u01(bx) * two - onef
+                ry = _u01(by) * two - onef
+                rz = _u01(bz) * two - onef
+                rl = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+                rx, ry, rz = rx / rl, ry / rl, rz / rl   # unit cube sample
+
+                # diffuse: normal + rand (degenerate -> normal)
+                sdx = nx + rx
+                sdy = ny + ry
+                sdz = nz + rz
+                deg = ((jnp.abs(sdx) < 1e-8) & (jnp.abs(sdy) < 1e-8)
+                       & (jnp.abs(sdz) < 1e-8))
+                sl = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
+                sl = jnp.where(sl == 0.0, 1.0, sl)
+                difx = jnp.where(deg, nx, sdx / sl)
+                dify = jnp.where(deg, ny, sdy / sl)
+                difz = jnp.where(deg, nz, sdz / sl)
+
+                # metal: reflect + fuzz*rand; absorb below surface
+                dn = dx * nx + dy * ny + dz * nz
+                rfx = dx - two * dn * nx
+                rfy = dy - two * dn * ny
+                rfz = dz - two * dn * nz
+                mx = rfx + fz * rx
+                my = rfy + fz * ry
+                mz = rfz + fz * rz
+                met_keep = (mx * nx + my * ny + mz * nz) >= 0.0
+                ml = jnp.sqrt(mx * mx + my * my + mz * mz)
+                ml = jnp.where(ml == 0.0, 1.0, ml)
+                metx = mx / ml
+                mety = my / ml
+                metz = mz / ml
+
+                # dielectric: reference's inverted front-face rule
+                inside = dn >= 0.0
+                sgn = jnp.where(inside, -onef, onef)
+                nex = sgn * nx
+                ney = sgn * ny
+                nez = sgn * nz
+                ratio = jnp.where(inside, onef / irx, irx)
+                cos_t = -(dx * nex + dy * ney + dz * nez)
+                px = ratio * (dx + cos_t * nex)
+                py = ratio * (dy + cos_t * ney)
+                pz = ratio * (dz + cos_t * nez)
+                pl2 = px * px + py * py + pz * pz
+                para = -jnp.sqrt(jnp.abs(onef - pl2))
+                qx = px + para * nex
+                qy = py + para * ney
+                qz = pz + para * nez
+                ql = jnp.sqrt(qx * qx + qy * qy + qz * qz)
+                ql = jnp.where(ql == 0.0, 1.0, ql)
+                diex = qx / ql
+                diey = qy / ql
+                diez = qz / ql
+
+                is_dif = kind < 0.5
+                is_met = (kind >= 0.5) & (kind < 1.5)
+                is_die = (kind >= 1.5) & (kind < 2.5)
+                is_emi = kind >= 2.5
+
+                scr = jnp.where(is_die, onef, ar)
+                scg = jnp.where(is_die, onef, ag)
+                scb = jnp.where(is_die, onef, ab)
+                ndx = jnp.where(is_dif, difx,
+                                jnp.where(is_met, metx,
+                                          jnp.where(is_die, diex, nx)))
+                ndy = jnp.where(is_dif, dify,
+                                jnp.where(is_met, mety,
+                                          jnp.where(is_die, diey, ny)))
+                ndz = jnp.where(is_dif, difz,
+                                jnp.where(is_met, metz,
+                                          jnp.where(is_die, diez, nz)))
+                term = is_emi | (is_met & ~met_keep)
+
+                # ---- bounce bookkeeping (common.rs:263-285) --------------
+                miss = alive & ~hit
+                terminal = alive & hit & term
+                cont = alive & hit & ~term
+
+                # sky from current direction (dir is unit; renormalize like
+                # the reference does is a no-op here up to rounding)
+                tsky = jnp.float32(0.5) * (dy + onef)
+                skyr = onef - tsky * jnp.float32(0.5)
+                skyg = onef - tsky * jnp.float32(0.3)
+                skyb = onef
+
+                rr = rr + jnp.where(miss, tpr * skyr,
+                                    jnp.where(terminal, tpr * scr, 0.0))
+                rg = rg + jnp.where(miss, tpg * skyg,
+                                    jnp.where(terminal, tpg * scg, 0.0))
+                rb = rb + jnp.where(miss, tpb * skyb,
+                                    jnp.where(terminal, tpb * scb, 0.0))
+                tpr = jnp.where(cont, tpr * scr, tpr)
+                tpg = jnp.where(cont, tpg * scg, tpg)
+                tpb = jnp.where(cont, tpb * scb, tpb)
+                ox = jnp.where(cont, hpx, ox)
+                oy = jnp.where(cont, hpy, oy)
+                oz = jnp.where(cont, hpz, oz)
+                dx = jnp.where(cont, ndx, dx)
+                dy = jnp.where(cont, ndy, dy)
+                dz = jnp.where(cont, ndz, dz)
+                alive_f = jnp.where(cont, 1.0, 0.0)
+                return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
+                        rr, rg, rb, alive_f, seg)
+
+            st = (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
+                  rr, rg, rb, alive_f, seg)
+            st = jax.lax.fori_loop(0, depth, bounce_body, st)
+            rr, rg, rb, seg = st[9], st[10], st[11], st[13]
+            return (acc_r + rr, acc_g + rg, acc_b + rb, seg)
+
+        acc_r, acc_g, acc_b, seg = jax.lax.fori_loop(
+            0, spp, trace_sample, (zero, zero, zero, zero))
+
+        inv_spp = jnp.float32(1.0 / spp)
+        out_ref[0] = acc_r * inv_spp
+        out_ref[1] = acc_g * inv_spp
+        out_ref[2] = acc_b * inv_spp
+        out_ref[3] = seg           # per-lane traced-segment count
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "samples_per_pixel", "depth",
+                     "block_rows", "parity_plane_sign", "count_all_lanes"))
+def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
+                         samples_per_pixel, depth, seed=0, block_rows=256,
+                         parity_plane_sign=True, count_all_lanes=False):
+    """Mean linear radiance [H, W, 3] + segment count, fused kernel.
+
+    sph_table: (SPH_ROWS, S) from pack_spheres; tri_table: (TRI_ROWS, T)
+    from pack_triangles; cam_vec: (12,) f32 [origin, llc, horizontal,
+    vertical].
+    """
+    npix = width * height
+    block = block_rows * LANES
+    nblocks = pl.cdiv(npix, block)
+    rows_total = nblocks * block_rows
+    n_spheres = sph_table.shape[1]
+    n_tris = tri_table.shape[1]
+
+    kernel = _make_kernel(width, height, samples_per_pixel, depth,
+                          n_spheres, n_tris, block_rows, parity_plane_sign,
+                          count_all_lanes)
+
+    seed_arr = (jnp.uint32(seed) * _SEED_MIX)[None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nblocks,),
+        in_specs=[],
+        out_specs=pl.BlockSpec((4, block_rows, LANES),
+                               lambda i, *prefetch: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    img = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, rows_total, LANES), jnp.float32),
+    )(cam_vec, sph_table, tri_table, seed_arr)
+
+    flat = img.reshape(4, rows_total * LANES)
+    mean = jnp.moveaxis(flat[:3, :npix].reshape(3, height, width), 0, -1)
+    # per-lane counts are small ints (<= spp*depth, exact in f32); the sum
+    # may round a few ulp at very large configs — fine for rays/s accounting
+    return mean, jnp.sum(flat[3])
+
+
+def camera_vec(camera: Camera) -> jax.Array:
+    return jnp.concatenate([
+        camera.origin, camera.lower_left_corner,
+        camera.horizontal, camera.vertical]).astype(jnp.float32)

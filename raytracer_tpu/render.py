@@ -67,6 +67,7 @@ class Options:
     positive_is_up: bool = True
     parity_plane_sign: bool = True  # reproduce common.rs:140-141 (see intersect)
     seed: int = rng.DEFAULT_SEED
+    engine: str = "auto"            # "auto" | "pallas" | "xla"
 
 
 def _sky_color(direction):
@@ -229,12 +230,13 @@ def ray_trace(scene: Scene, camera: Camera, width: int, height: int,
     u8 RGBA framebuffer [height, width, 4] (flipped, ready to write) and the
     traced-segment count."""
     options = options or Options()
-    mean, segments = render_linear(
+    from . import ops as ops_mod
+    mean, segments = ops_mod.render_linear_fast(
         scene, camera, width=width, height=height,
         samples_per_pixel=options.samples_per_pixel,
         depth=options.max_ray_bounces,
         parity_plane_sign=options.parity_plane_sign,
-        seed=options.seed)
+        seed=options.seed, engine=options.engine)
     img = finalize_image(mean)
     return np.asarray(img), int(segments)
 

@@ -20,12 +20,13 @@ what a TPU wants, so this framework has two generators:
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
 __all__ = [
     "DEFAULT_SEED", "U32_MAX_F32",
-    "xorshift32", "random_f32_from_bits", "XorShift32",
+    "xorshift32", "random_f32_from_bits", "random_f32_from_bits24", "XorShift32",
     "pcg3d", "uniform3", "uniform_bilateral3", "uniform2",
 ]
 
@@ -115,13 +116,27 @@ def pcg3d(v0, v1, v2):
     return x, y, z
 
 
+def random_f32_from_bits24(bits):
+    """[0, 1] from the TOP 24 bits: (bits >> 8) / (2^24 - 1).
+
+    Used by the counter-based fast path (not the parity path): TPU Pallas
+    has no uint32->f32 cast, but the 24-bit value fits int32 exactly, and
+    this identical formulation keeps the XLA and Pallas renderers
+    bit-consistent with each other.
+    """
+    b24 = jax.lax.shift_right_logical(jnp.asarray(bits, jnp.uint32),
+                                      jnp.uint32(8))
+    i = jax.lax.bitcast_convert_type(b24, jnp.int32)
+    return i.astype(jnp.float32) * jnp.float32(1.0 / 16777215.0)
+
+
 def uniform3(v0, v1, v2):
     """Three independent uniforms in [0, 1] from three uint32 counters."""
     a, b, c = pcg3d(v0, v1, v2)
     return (
-        random_f32_from_bits(a),
-        random_f32_from_bits(b),
-        random_f32_from_bits(c),
+        random_f32_from_bits24(a),
+        random_f32_from_bits24(b),
+        random_f32_from_bits24(c),
     )
 
 
@@ -136,4 +151,4 @@ def uniform_bilateral3(v0, v1, v2):
 def uniform2(v0, v1, v2):
     """Two uniforms in [0, 1] (third word discarded)."""
     a, b, _ = pcg3d(v0, v1, v2)
-    return random_f32_from_bits(a), random_f32_from_bits(b)
+    return random_f32_from_bits24(a), random_f32_from_bits24(b)
