@@ -189,13 +189,16 @@ def triangle_hits_batch(origin, direction, scene: Scene, pack: ScenePack,
     return t_best, idx
 
 
-def closest_hit_batch(origin, direction, scene: Scene, pack: ScenePack,
-                      t_min=T_MIN, parity_plane_sign: bool = True) -> HitRecord:
-    """World::hit (common.rs:237-258) over the whole wavefront.
+def closest_hit_batch_argmin(origin, direction, scene: Scene, pack: ScenePack,
+                             t_min=T_MIN, parity_plane_sign: bool = True
+                             ) -> HitRecord:
+    """World::hit via broadcast [B, S] + argmin + gather.
 
-    Triangle wins at exactly-equal t (see module doc).  The reference's
-    triangle-vs-running-closest bound only prunes triangles that would lose
-    the min anyway, so a global min is equivalent.
+    Kept as the reference formulation for testing; ``closest_hit_batch``
+    (the scan-with-select version below) is the production path — the
+    [B, S] layout puts the primitive count in the minor dimension, which the
+    TPU pads to 128 lanes (16x waste at S=8), and the post-argmin gathers
+    are slow on the VPU.
     """
     ts, si = sphere_hits_batch(origin, direction, scene, pack, t_min)
     tt, ti = triangle_hits_batch(origin, direction, scene, pack, t_min,
@@ -217,6 +220,122 @@ def closest_hit_batch(origin, direction, scene: Scene, pack: ScenePack,
 
     mat = jnp.where(tri_wins, scene.tri_mat[ti], scene.sphere_mat[si])
     return HitRecord(t=t, position=position, normal=normal,
+                     mat=mat.astype(jnp.int32), hit=hit)
+
+
+def closest_hit_batch(origin, direction, scene: Scene, pack: ScenePack,
+                      t_min=T_MIN, parity_plane_sign: bool = True) -> HitRecord:
+    """World::hit (common.rs:237-258) over the whole wavefront,
+    scan-with-select formulation.
+
+    Walks primitives with a lax.scan whose carry is [B]-shaped planes
+    (running best t + the winning primitive's attributes selected in place)
+    — every array keeps the ray batch in the minor dimension (perfect VPU
+    tiling) and no gathers are emitted.  Mirrors the Pallas kernel's loop
+    structure; same semantics as the argmin version: spheres first-of-equals
+    wins (strict <), triangles beat spheres at equal t (<=), later triangle
+    beats earlier at exactly-equal t (measure-zero deviation from the
+    reference's first-wins, as in the kernel).
+
+    Differentiable: the scan is reverse-mode differentiable and the select
+    planes route cotangents to the winning primitive only.
+    """
+    B = origin.shape[0]
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+
+    t_best = jnp.full((B,), INF)
+    nx = jnp.zeros((B,))
+    ny = jnp.zeros((B,))
+    nz = jnp.ones((B,))
+    mat = jnp.zeros((B,), jnp.int32)
+
+    def sphere_step(carry, xs):
+        t_best, nx, ny, nz, mat = carry
+        c, r, m, valid = xs
+        ocx = ox - c[0]
+        ocy = oy - c[1]
+        ocz = oz - c[2]
+        half_b = ocx * dx + ocy * dy + ocz * dz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = half_b * half_b - cc
+        ok = disc >= 0.0
+        sq = maths.safe_sqrt(jnp.where(ok, disc, 1.0))
+        root1 = -half_b - sq
+        root2 = -half_b + sq
+        t = jnp.where(root1 > t_min, root1,
+                      jnp.where(root2 > t_min, root2, INF))
+        t = jnp.where(ok & valid, t, INF)
+        better = t < t_best
+        t_safe = jnp.where(better, t, 0.0)
+        # normal direction from center (normalized below, after the scan,
+        # using the winning center stored componentwise)
+        t_best = jnp.where(better, t, t_best)
+        nx = jnp.where(better, c[0], nx)
+        ny = jnp.where(better, c[1], ny)
+        nz = jnp.where(better, c[2], nz)
+        mat = jnp.where(better, m, mat)
+        return (t_best, nx, ny, nz, mat), None
+
+    (t_best, cx, cy, cz, mat), _ = jax.lax.scan(
+        sphere_step, (t_best, nx, ny, nz, mat),
+        (scene.sphere_center, scene.sphere_radius,
+         scene.sphere_mat, scene.sphere_valid))
+
+    sphere_hit = jnp.isfinite(t_best)
+    ts_safe = jnp.where(sphere_hit, t_best, 0.0)
+    # sphere normal ((p - c)/r).normalize(): the radius divide cancels in
+    # the normalization for r > 0 (no negative radii in the scene model)
+    snx = ox + ts_safe * dx - cx
+    sny = oy + ts_safe * dy - cy
+    snz = oz + ts_safe * dz - cz
+    ln = maths.safe_sqrt(snx * snx + sny * sny + snz * snz)
+    ln = jnp.where(ln == 0.0, 1.0, ln)
+    nx = snx / ln
+    ny = sny / ln
+    nz = snz / ln
+
+    def tri_step(carry, xs):
+        t_best, nx, ny, nz, mat = carry
+        n, d, g0, g1, g2, w0, w1, w2, un, m, valid = xs
+        nd = n[0] * dx + n[1] * dy + n[2] * dz
+        no = n[0] * ox + n[1] * oy + n[2] * oz
+        parallel = jnp.abs(nd) < 1e-8
+        nd_safe = jnp.where(parallel, 1.0, nd)
+        if parity_plane_sign:
+            t = (no + d) / nd_safe
+        else:
+            t = (d - no) / nd_safe
+        ok = (~parallel) & (t >= t_min) & valid
+        e0 = (ox * g0[0] + oy * g0[1] + oz * g0[2]
+              + t * (dx * g0[0] + dy * g0[1] + dz * g0[2]) - w0)
+        ok &= e0 >= 0.0
+        e1 = (ox * g1[0] + oy * g1[1] + oz * g1[2]
+              + t * (dx * g1[0] + dy * g1[1] + dz * g1[2]) - w1)
+        ok &= e1 >= 0.0
+        e2 = (ox * g2[0] + oy * g2[1] + oz * g2[2]
+              + t * (dx * g2[0] + dy * g2[1] + dz * g2[2]) - w2)
+        ok &= e2 >= 0.0
+        better = ok & (t <= t_best)   # triangle wins ties (common.rs:142)
+        t_best = jnp.where(better, t, t_best)
+        nx = jnp.where(better, un[0], nx)
+        ny = jnp.where(better, un[1], ny)
+        nz = jnp.where(better, un[2], nz)
+        mat = jnp.where(better, m, mat)
+        return (t_best, nx, ny, nz, mat), None
+
+    if scene.num_triangles > 0:
+        (t_best, nx, ny, nz, mat), _ = jax.lax.scan(
+            tri_step, (t_best, nx, ny, nz, mat),
+            (pack.n_t.T, pack.d, pack.g0_t.T, pack.g1_t.T, pack.g2_t.T,
+             pack.v0g0, pack.v1g1, pack.v2g2, pack.unit_normal,
+             scene.tri_mat, scene.tri_valid))
+
+    hit = jnp.isfinite(t_best)
+    t_safe = jnp.where(hit, t_best, 0.0)
+    position = origin + t_safe[:, None] * direction
+    normal = jnp.stack([nx, ny, nz], axis=-1)
+    return HitRecord(t=t_best, position=position, normal=normal,
                      mat=mat.astype(jnp.int32), hit=hit)
 
 
