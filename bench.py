@@ -1,17 +1,18 @@
 """Benchmark: rays/sec/chip on the BASELINE north-star config.
 
-Renders the reference's bundled 8-sphere world at 512x512 / 64 spp / 8
-bounces on the available accelerator and reports traced ray segments per
-second.  "Segments" = actual rays submitted to the intersector (live rays
-per bounce summed over the scan) — the honest denominator for a wavefront
-tracer, counted on-device by the renderer itself.
-
-Prints ONE JSON line:
+Default: renders the reference's bundled 8-sphere world at 512x512 / 64 spp
+/ 8 bounces and prints ONE JSON line:
   {"metric": ..., "value": rays/s, "unit": "rays/s", "vs_baseline": ...}
+
+"Segments" = rays actually submitted to the intersector (live rays per
+bounce summed over the scan), counted on-device by the renderer.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md — "None"), so
 the yardstick is the BASELINE.json north-star target of 1e9 rays/s on a
 v5p-16 (16 chips) == 6.25e7 rays/s/chip; vs_baseline = value / 6.25e7.
+
+``--all`` additionally benchmarks the other BASELINE.json configs (random
+spheres, triangle mesh, gradient pass), one JSON line each.
 """
 
 import json
@@ -25,16 +26,26 @@ DEPTH = 8
 PER_CHIP_TARGET = 1e9 / 16.0  # north-star: >1e9 rays/s on v5p-16
 
 
-def main() -> int:
+def _time_best(fn, n=3):
     import jax
-    import numpy as np
+    out = fn(0)
+    jax.block_until_ready(out)
+    times = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        out = fn(i + 1)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def bench_headline():
     import raytracer_tpu as rt
+    from raytracer_tpu import ops as ops_mod
 
     world = rt.models.default_world()
     scene = world.to_scene()
     camera = world.to_camera()
-
-    from raytracer_tpu import ops as ops_mod
 
     def run(seed):
         img, segments = ops_mod.render_linear_fast(
@@ -42,33 +53,85 @@ def main() -> int:
             samples_per_pixel=SPP, depth=DEPTH, seed=seed)
         return img, segments
 
-    # compile + warmup (first TPU compile is slow; excluded from timing)
-    img, segments = run(0)
-    img.block_until_ready()
-    segments_per_run = int(segments)
-
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        img, segments = run(i + 1)
-        img.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    rays_per_sec = segments_per_run / dt
-
-    result = {
+    dt, (img, segments) = _time_best(run)
+    segments = int(segments)
+    rays_per_sec = segments / dt
+    return {
         "metric": f"rays_per_sec_chip_{WIDTH}x{HEIGHT}_{SPP}spp",
         "value": rays_per_sec,
         "unit": "rays/s",
         "vs_baseline": rays_per_sec / PER_CHIP_TARGET,
-    }
-    print(json.dumps(result))
+    }, dt, segments
+
+
+def bench_all():
+    import jax
+    import raytracer_tpu as rt
+    from raytracer_tpu import grad as gradmod, ops as ops_mod
+
+    results = []
+
+    # config 2: ~500-sphere random scene, 512x512x16spp
+    scene, cam = rt.models.random_spheres()
+    def run_rs(seed):
+        return ops_mod.render_linear_fast(
+            scene, cam, width=512, height=512, samples_per_pixel=16,
+            depth=DEPTH, seed=seed)
+    dt, (_, segs) = _time_best(run_rs)
+    results.append({
+        "metric": f"random_spheres_{scene.num_spheres}sph_512x512_16spp",
+        "value": int(segs) / dt, "unit": "rays/s",
+        "vs_baseline": int(segs) / dt / PER_CHIP_TARGET})
+
+    # config 3: triangle-mesh scene (BVH-free brute force), 512x512
+    mscene, mcam = rt.models.mesh_scene(subdivisions=3)
+    def run_ms(seed):
+        return ops_mod.render_linear_fast(
+            mscene, mcam, width=512, height=512, samples_per_pixel=4,
+            depth=4, seed=seed)
+    dt, (_, segs) = _time_best(run_ms)
+    results.append({
+        "metric": f"mesh_{mscene.num_triangles}tri_512x512_4spp",
+        "value": int(segs) / dt, "unit": "rays/s",
+        "vs_baseline": int(segs) / dt / PER_CHIP_TARGET})
+
+    # gradient pass (inverse-rendering step): forward+backward rays/s
+    world = rt.models.default_world()
+    dscene, dcam = world.to_scene(), world.to_camera()
+    W = H = 256
+    gspp, gd = 8, 4
+    target, _ = rt.render_linear(dscene, dcam, width=W, height=H,
+                                 samples_per_pixel=gspp, depth=gd, seed=0)
+    loss_fn = gradmod.make_loss_fn(dscene, dcam, target, width=W, height=H,
+                                   samples_per_pixel=gspp, depth=gd, seed=1)
+    params = gradmod.extract_params(
+        dscene, ["sphere_center", "sphere_radius", "mat_color"])
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    def run_g(_):
+        return vg(params)
+    dt, _ = _time_best(run_g)
+    paths = W * H * gspp
+    results.append({
+        "metric": f"grad_pass_paths_per_sec_{W}x{H}_{gspp}spp",
+        "value": paths / dt, "unit": "paths/s",
+        "vs_baseline": paths / dt / 1e6})  # vs 1 Mpaths/s nominal
+    return results
+
+
+def main() -> int:
+    import jax
+
+    headline, dt, segments = bench_headline()
+    print(json.dumps(headline))
     print(
         f"[bench] device={jax.devices()[0].device_kind} "
-        f"segments/run={segments_per_run} best={dt:.3f}s "
-        f"times={['%.3f' % t for t in times]} "
+        f"segments/run={segments} best={dt:.3f}s "
         f"paths/s={WIDTH*HEIGHT*SPP/dt:.3e}",
         file=sys.stderr)
+
+    if "--all" in sys.argv[1:]:
+        for r in bench_all():
+            print(json.dumps(r), file=sys.stderr)
     return 0
 
 

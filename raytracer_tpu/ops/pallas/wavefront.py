@@ -487,10 +487,12 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
-                     "block_rows", "parity_plane_sign", "count_all_lanes"))
+                     "block_rows", "parity_plane_sign", "count_all_lanes",
+                     "interpret"))
 def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
-                         samples_per_pixel, depth, seed=0, block_rows=256,
-                         parity_plane_sign=True, count_all_lanes=False):
+                         samples_per_pixel, depth, seed=0, block_rows=128,
+                         parity_plane_sign=True, count_all_lanes=False,
+                         interpret=False):
     """Mean linear radiance [H, W, 3] + segment count, fused kernel.
 
     sph_table: (SPH_ROWS, S) from pack_spheres; tri_table: (TRI_ROWS, T)
@@ -523,6 +525,7 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, rows_total, LANES), jnp.float32),
+        interpret=interpret,
     )(cam_vec, sph_table, tri_table, seed_arr)
 
     flat = img.reshape(4, rows_total * LANES)

@@ -1,0 +1,100 @@
+"""Pallas megakernel tests (interpreter mode — runs on the CPU test harness;
+the compiled-TPU path is exercised by bench.py / scripts/test_pallas_tpu.py
+on hardware)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu.ops.pallas import wavefront as wf
+
+
+def _tables(world):
+    scene = world.to_scene()
+    cam = world.to_camera()
+    return (scene, cam, jnp.asarray(wf.pack_spheres(scene)),
+            jnp.asarray(wf.pack_triangles(scene)), wf.camera_vec(cam))
+
+
+class TestKernelInterpret:
+    def test_matches_xla_path_spheres(self, default_world):
+        scene, cam, sph, tri, cv = _tables(default_world)
+        img, segs = wf.render_linear_pallas(
+            sph, tri, cv, width=16, height=8, samples_per_pixel=2, depth=3,
+            block_rows=8, interpret=True)
+        ref, segr = rt.render_linear(scene, cam, width=16, height=8,
+                                     samples_per_pixel=2, depth=3)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   atol=1e-5)
+        assert float(segs) == float(segr)
+
+    def test_matches_xla_path_triangles(self, ffi_world):
+        scene, cam, sph, tri, cv = _tables(ffi_world)
+        img, segs = wf.render_linear_pallas(
+            sph, tri, cv, width=16, height=16, samples_per_pixel=1, depth=3,
+            block_rows=8, interpret=True)
+        ref, segr = rt.render_linear(scene, cam, width=16, height=16,
+                                     samples_per_pixel=1, depth=3)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   atol=1e-5)
+        assert float(segs) == float(segr)
+
+    def test_nondivisible_pixels_padded(self, default_world):
+        # 13x7 = 91 pixels << one 8x128 block: padding lanes must be inert
+        scene, cam, sph, tri, cv = _tables(default_world)
+        img, _ = wf.render_linear_pallas(
+            sph, tri, cv, width=13, height=7, samples_per_pixel=1, depth=2,
+            block_rows=8, interpret=True)
+        ref, _ = rt.render_linear(scene, cam, width=13, height=7,
+                                  samples_per_pixel=1, depth=2)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   atol=1e-5)
+
+
+class TestSceneTables:
+    def test_pack_spheres_layout(self, default_world):
+        scene = default_world.to_scene()
+        t = wf.pack_spheres(scene)
+        assert t.shape == (wf.SPH_ROWS, scene.num_spheres)
+        # ground sphere first: r^2 = 10000
+        assert t[wf._SPH_R2, 0] == pytest.approx(10000.0)
+        # all valid -> r2 > 0
+        assert (t[wf._SPH_R2] > 0).all()
+
+    def test_pack_spheres_invalid_rows(self, default_world):
+        scene = default_world.to_scene(pad_spheres_to=12)
+        t = wf.pack_spheres(scene)
+        assert (t[wf._SPH_R2, 8:] < 0).all()   # padding can never hit
+
+    def test_pack_triangles_zero_normal_padding(self, default_world):
+        scene = default_world.to_scene()  # no triangles -> 1 padded row
+        t = wf.pack_triangles(scene)
+        assert t.shape == (wf.TRI_ROWS, 1)
+        assert (t[:3, 0] == 0).all()      # zero plane normal -> parallel
+
+    def test_camera_vec(self, default_world):
+        cv = np.asarray(wf.camera_vec(default_world.to_camera()))
+        assert cv.shape == (12,)
+        np.testing.assert_allclose(cv[0:3], [0, 0, 0], atol=1e-7)
+
+
+class TestEngineDispatch:
+    def test_auto_on_cpu_uses_xla(self, default_world):
+        from raytracer_tpu import ops as ops_mod
+        assert not ops_mod.backend_is_tpu()
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        img, segs = ops_mod.render_linear_fast(
+            scene, cam, width=16, height=8, samples_per_pixel=1, depth=2)
+        ref, _ = rt.render_linear(scene, cam, width=16, height=8,
+                                  samples_per_pixel=1, depth=2)
+        assert np.array_equal(np.asarray(img), np.asarray(ref))
+
+    def test_explicit_xla_engine(self, default_world):
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        fb, segs = rt.ray_trace(scene, cam, 16, 8,
+                                rt.Options(samples_per_pixel=1,
+                                           max_ray_bounces=2, engine="xla"))
+        assert fb.shape == (8, 16, 4)
