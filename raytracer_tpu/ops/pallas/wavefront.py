@@ -217,11 +217,19 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
             rb = zero
             alive_f = jnp.where(active0, 1.0, 0.0)
 
-            # bounce loop as fori with ONLY f32 vector carries (Mosaic
-            # can't legalize scf.for with scalar/i1 carries, and a static
-            # unroll at depth 8 explodes compile time)
-            def bounce_body(b, st):
-                (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
+            # bounce loop as a while with ONLY f32-vector + i32-scalar
+            # carries (Mosaic can't legalize scf.for/while with f32-scalar
+            # or i1-vector carries, and a static unroll at depth 8 explodes
+            # compile time).  The while predicate adds dead-wavefront early
+    # exit: once every lane has terminated, remaining bounces are skipped
+            # (big win for sky-heavy scenes).
+            def bounce_cond(st):
+                b = st[0]
+                alive_f = st[13]
+                return (b < depth) & (jnp.sum(alive_f) > 0.0)
+
+            def bounce_body(st):
+                (b, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
                  rr, rg, rb, alive_f, seg) = st
                 alive = alive_f > 0.5
                 seg = seg + alive_f
@@ -463,13 +471,13 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                 dy = jnp.where(cont, ndy, dy)
                 dz = jnp.where(cont, ndz, dz)
                 alive_f = jnp.where(cont, 1.0, 0.0)
-                return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
+                return (b + 1, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
                         rr, rg, rb, alive_f, seg)
 
-            st = (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
+            st = (jnp.int32(0), ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
                   rr, rg, rb, alive_f, seg)
-            st = jax.lax.fori_loop(0, depth, bounce_body, st)
-            rr, rg, rb, seg = st[9], st[10], st[11], st[13]
+            st = jax.lax.while_loop(bounce_cond, bounce_body, st)
+            rr, rg, rb, seg = st[10], st[11], st[12], st[14]
             return (acc_r + rr, acc_g + rg, acc_b + rb, seg)
 
         acc_r, acc_g, acc_b, seg = jax.lax.fori_loop(
