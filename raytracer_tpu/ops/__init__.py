@@ -20,8 +20,13 @@ from ..camera import Camera
 from ..scene import Scene
 
 # SMEM scene-table budgets (f32 rows x primitives; v5e SMEM is tens of KB)
-MAX_PALLAS_SPHERES = 1024
-MAX_PALLAS_TRIS = 512
+MAX_PALLAS_SPHERES = 2048
+MAX_PALLAS_TRIS = 2048
+
+# primitive counts at which the kernel switches from the flat scan to
+# cluster culling (median-split leaves + block-level bound tests)
+CLUSTER_MIN_SPHERES = 64
+CLUSTER_MIN_TRIS = 64
 
 
 def backend_is_tpu() -> bool:
@@ -49,13 +54,29 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
         engine = "pallas" if can_use_pallas(scene) else "xla"
     if engine == "pallas":
         from .pallas import wavefront as wf
-        sph = jnp.asarray(wf.pack_spheres(scene))
-        tri = jnp.asarray(wf.pack_triangles(scene))
+        sph_perm = tri_perm = None
+        sph_cl = tri_cl = None
+        if int(np.sum(np.asarray(scene.sphere_valid))) >= CLUSTER_MIN_SPHERES:
+            sph_perm, b, rg = wf.cluster_spheres(scene)
+            sph_cl = (jnp.asarray(b), jnp.asarray(rg))
+        # Triangle culling is only sound with the CORRECT plane equation:
+        # under parity_plane_sign (the reference's wrong-sign formula,
+        # common.rs:140-141) bounce rays with origin != 0 register hits at
+        # t values unrelated to the triangle's actual geometry, so no
+        # vertex-derived bound contains them.
+        if (not parity_plane_sign
+                and int(np.sum(np.asarray(scene.tri_valid)))
+                >= CLUSTER_MIN_TRIS):
+            tri_perm, b, rg = wf.cluster_triangles(scene)
+            tri_cl = (jnp.asarray(b), jnp.asarray(rg))
+        sph = jnp.asarray(wf.pack_spheres(scene, perm=sph_perm))
+        tri = jnp.asarray(wf.pack_triangles(scene, perm=tri_perm))
         cv = wf.camera_vec(camera)
         mean, segs = wf.render_linear_pallas(
             sph, tri, cv, width=width, height=height,
             samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
-            parity_plane_sign=parity_plane_sign)
+            parity_plane_sign=parity_plane_sign,
+            sph_clusters=sph_cl, tri_clusters=tri_cl)
         return mean, segs
     return render_mod.render_linear(
         scene, camera, width=width, height=height,

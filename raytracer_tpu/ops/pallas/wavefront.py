@@ -91,12 +91,15 @@ def _u01(bits):
     return i.astype(jnp.float32) * jnp.float32(1.0 / 16777215.0)
 
 
-def pack_spheres(scene: Scene) -> np.ndarray:
-    """Host-side (SPH_ROWS, S) f32 table; per-sphere material flattened in."""
+def pack_spheres(scene: Scene, perm=None) -> np.ndarray:
+    """Host-side (SPH_ROWS, S) f32 table; per-sphere material flattened in.
+    ``perm`` optionally reorders the columns (cluster_spheres order)."""
     c = np.asarray(scene.sphere_center, np.float32)
     r = np.asarray(scene.sphere_radius, np.float32)
     valid = np.asarray(scene.sphere_valid)
     mat = np.asarray(scene.sphere_mat)
+    if perm is not None:
+        c, r, valid, mat = c[perm], r[perm], valid[perm], mat[perm]
     kind = np.asarray(scene.materials.kind, np.float32)[mat]
     alb = np.asarray(scene.materials.color, np.float32)[mat]
     fuzz = np.asarray(scene.materials.fuzz, np.float32)[mat]
@@ -116,14 +119,18 @@ def pack_spheres(scene: Scene) -> np.ndarray:
     return out
 
 
-def pack_triangles(scene: Scene) -> np.ndarray:
+def pack_triangles(scene: Scene, perm=None) -> np.ndarray:
     """Host-side (TRI_ROWS, T) f32 table of precomputed plane/edge constants
-    (the ScenePack quantities, intersect.py)."""
+    (the ScenePack quantities, intersect.py).  ``perm`` optionally reorders
+    the columns (cluster_triangles order)."""
     v0 = np.asarray(scene.tri_v0, np.float64)
     v1 = np.asarray(scene.tri_v1, np.float64)
     v2 = np.asarray(scene.tri_v2, np.float64)
     valid = np.asarray(scene.tri_valid)
     mat = np.asarray(scene.tri_mat)
+    if perm is not None:
+        v0, v1, v2 = v0[perm], v1[perm], v2[perm]
+        valid, mat = valid[perm], mat[perm]
     kind = np.asarray(scene.materials.kind, np.float32)[mat]
     alb = np.asarray(scene.materials.color, np.float32)[mat]
     n = np.cross(v1 - v0, v2 - v0)
@@ -155,25 +162,130 @@ def pack_triangles(scene: Scene) -> np.ndarray:
     return out
 
 
+def _median_split_order(points: np.ndarray, leaf_target: int):
+    """BVH-style recursive median split over ``points`` [N, 3].
+
+    Returns (perm, leaf_slices): ``perm`` reorders primitives so every leaf's
+    members are contiguous; ``leaf_slices`` is a list of (start, end) into the
+    permuted order.  Balanced by construction (split at the median of the
+    widest axis), deterministic, host-side numpy only.
+    """
+    leaves: list[np.ndarray] = []
+
+    def rec(ids: np.ndarray):
+        if len(ids) <= leaf_target:
+            leaves.append(ids)
+            return
+        pts = points[ids]
+        ax = int(np.argmax(pts.max(axis=0) - pts.min(axis=0)))
+        order = np.argsort(pts[:, ax], kind="stable")
+        h = len(ids) // 2
+        rec(ids[order[:h]])
+        rec(ids[order[h:]])
+
+    rec(np.arange(len(points)))
+    perm = np.concatenate(leaves) if leaves else np.arange(0)
+    slices = []
+    off = 0
+    for leaf in leaves:
+        slices.append((off, off + len(leaf)))
+        off += len(leaf)
+    return perm, slices
+
+
+_BOUND_PAD = 1.0 + 1e-4  # conservative f32 padding on cluster bound radii
+
+
+def cluster_spheres(scene: Scene, leaf_target: int = 48):
+    """Cluster the valid spheres for block-level culling.
+
+    Returns (perm, bounds, ranges): ``perm`` is a permutation of ALL sphere
+    columns (valid members leaf-contiguous first, invalid padding last, so it
+    feeds straight into ``pack_spheres(scene, perm=...)``); ``bounds`` is
+    (4, C) f32 [bcx, bcy, bcz, br^2] bounding spheres; ``ranges`` is (2, C)
+    int32 [start, end) member ranges in the permuted table.
+    """
+    c = np.asarray(scene.sphere_center, np.float64)
+    r = np.asarray(scene.sphere_radius, np.float64)
+    valid = np.asarray(scene.sphere_valid)
+    vidx = np.nonzero(valid)[0]
+    perm_v, slices = _median_split_order(c[vidx], leaf_target)
+    perm = np.concatenate([vidx[perm_v], np.nonzero(~valid)[0]]).astype(
+        np.int64)
+    C = max(len(slices), 1)
+    bounds = np.zeros((4, C), np.float32)
+    ranges = np.zeros((2, C), np.int32)
+    for k, (s, e) in enumerate(slices or [(0, 0)]):
+        mem = perm[s:e]
+        if len(mem) == 0:
+            bounds[3, k] = -1.0
+            continue
+        cm, rm = c[mem], r[mem]
+        bc = (cm.min(axis=0) + cm.max(axis=0)) * 0.5
+        br = float(np.max(np.linalg.norm(cm - bc, axis=-1) + np.abs(rm)))
+        br = br * _BOUND_PAD + 1e-4
+        bounds[0:3, k] = bc
+        bounds[3, k] = br * br
+        ranges[0, k], ranges[1, k] = s, e
+    return perm, bounds, ranges
+
+
+def cluster_triangles(scene: Scene, leaf_target: int = 64):
+    """Same as cluster_spheres for triangles (split on centroids, bound all
+    three vertices)."""
+    v0 = np.asarray(scene.tri_v0, np.float64)
+    v1 = np.asarray(scene.tri_v1, np.float64)
+    v2 = np.asarray(scene.tri_v2, np.float64)
+    valid = np.asarray(scene.tri_valid)
+    cen = (v0 + v1 + v2) / 3.0
+    vidx = np.nonzero(valid)[0]
+    perm_v, slices = _median_split_order(cen[vidx], leaf_target)
+    perm = np.concatenate([vidx[perm_v], np.nonzero(~valid)[0]]).astype(
+        np.int64)
+    C = max(len(slices), 1)
+    bounds = np.zeros((4, C), np.float32)
+    ranges = np.zeros((2, C), np.int32)
+    for k, (s, e) in enumerate(slices or [(0, 0)]):
+        mem = perm[s:e]
+        if len(mem) == 0:
+            bounds[3, k] = -1.0
+            continue
+        verts = np.concatenate([v0[mem], v1[mem], v2[mem]], axis=0)
+        bc = (verts.min(axis=0) + verts.max(axis=0)) * 0.5
+        br = float(np.max(np.linalg.norm(verts - bc, axis=-1)))
+        br = br * _BOUND_PAD + 1e-4
+        bounds[0:3, k] = bc
+        bounds[3, k] = br * br
+        ranges[0, k], ranges[1, k] = s, e
+    return perm, bounds, ranges
+
+
 def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
-                 parity_plane_sign, count_all_lanes):
-    W = np.float32(width)
+                 parity_plane_sign, count_all_lanes,
+                 n_sph_clusters=0, n_tri_clusters=0):
     npix = width * height
     R = block_rows
-    BLOCK = R * LANES
+    ntx = pl.cdiv(width, LANES)
     inv_w1 = np.float32(width - 1)
     inv_h1 = np.float32(height - 1)
 
-    def kernel(cam_ref, sph_ref, tri_ref, seed_ref, out_ref):
+    def kernel(cam_ref, sph_ref, sphc_b_ref, sphc_r_ref, tri_ref,
+               tric_b_ref, tric_r_ref, seed_ref, out_ref):
+        # blocks are (R x 128)-pixel IMAGE TILES, not linear pixel ranges:
+        # a tile's rays form a tight frustum, which is what makes the
+        # cluster bound tests below actually cull (a full-width stripe of
+        # pixels would touch every cluster every bounce)
         blk = pl.program_id(0)
-        base = (blk * BLOCK).astype(jnp.int32)
+        ty = blk // ntx
+        tx = blk - ty * ntx
         lane_row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-        pix = base + lane_row * LANES + lane_col           # (R,128) int32
-        active0 = pix < npix
-        pix_safe = jnp.minimum(pix, npix - 1)
-        prow = pix_safe // width
-        pcol = pix_safe - prow * width
+        prow = ty * R + lane_row
+        pcol = tx * LANES + lane_col
+        active0 = (prow < height) & (pcol < width)
+        prow = jnp.minimum(prow, height - 1)
+        pcol = jnp.minimum(pcol, width - 1)
+        pix_safe = prow * width + pcol                     # (R,128) int32
         prow_f = prow.astype(jnp.float32)
         pcol_f = pcol.astype(jnp.float32)
         pix_u = pix_safe.astype(jnp.uint32) + seed_ref[0]
@@ -281,10 +393,39 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                     irx = jnp.where(better, sph_ref[_SPH_IR, si], irx)
                     return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
 
-                (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
-                    jax.lax.fori_loop(
-                        0, n_spheres, sph_body,
-                        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx))
+                hs0 = (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
+                if n_sph_clusters > 0:
+                    # block-level culling: one bounding-sphere test over the
+                    # whole wavefront per cluster; when no live lane can beat
+                    # its current closest hit, the member loop runs with a
+                    # zero trip count (traced bounds, no cond needed)
+                    def sph_cluster_body(ci, hs):
+                        t_best = hs[0]
+                        bcx = sphc_b_ref[0, ci]
+                        bcy = sphc_b_ref[1, ci]
+                        bcz = sphc_b_ref[2, ci]
+                        br2 = sphc_b_ref[3, ci]
+                        ocx = ox - bcx
+                        ocy = oy - bcy
+                        ocz = oz - bcz
+                        hb = ocx * dx + ocy * dy + ocz * dz
+                        cc = ocx * ocx + ocy * ocy + ocz * ocz - br2
+                        disc = hb * hb - cc
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        entry = jnp.maximum(-hb - sq, 0.0)
+                        possible = ((disc >= 0.0) & (-hb + sq > T_MIN)
+                                    & (entry <= t_best) & alive)
+                        any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
+                        s0 = jnp.where(any_p > 0.0, sphc_r_ref[0, ci], 0)
+                        s1 = jnp.where(any_p > 0.0, sphc_r_ref[1, ci], 0)
+                        return jax.lax.fori_loop(s0, s1, sph_body, hs)
+
+                    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
+                        jax.lax.fori_loop(0, n_sph_clusters,
+                                          sph_cluster_body, hs0)
+                else:
+                    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
+                        jax.lax.fori_loop(0, n_spheres, sph_body, hs0)
 
                 # sphere hit normal from stored center (normalized direction
                 # from center to hit point; sign of r handled by normalize)
@@ -352,10 +493,35 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                         irx = jnp.where(better, 1.0, irx)
                         return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
 
-                    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
-                        jax.lax.fori_loop(
-                            0, n_tris, tri_body,
-                            (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx))
+                    ht0 = (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
+                    if n_tri_clusters > 0:
+                        def tri_cluster_body(ci, hs):
+                            t_best = hs[0]
+                            bcx = tric_b_ref[0, ci]
+                            bcy = tric_b_ref[1, ci]
+                            bcz = tric_b_ref[2, ci]
+                            br2 = tric_b_ref[3, ci]
+                            ocx = ox - bcx
+                            ocy = oy - bcy
+                            ocz = oz - bcz
+                            hb = ocx * dx + ocy * dy + ocz * dz
+                            cc = ocx * ocx + ocy * ocy + ocz * ocz - br2
+                            disc = hb * hb - cc
+                            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                            entry = jnp.maximum(-hb - sq, 0.0)
+                            possible = ((disc >= 0.0) & (-hb + sq > T_MIN)
+                                        & (entry <= t_best) & alive)
+                            any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
+                            s0 = jnp.where(any_p > 0.0, tric_r_ref[0, ci], 0)
+                            s1 = jnp.where(any_p > 0.0, tric_r_ref[1, ci], 0)
+                            return jax.lax.fori_loop(s0, s1, tri_body, hs)
+
+                        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
+                            jax.lax.fori_loop(0, n_tri_clusters,
+                                              tri_cluster_body, ht0)
+                    else:
+                        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
+                            jax.lax.fori_loop(0, n_tris, tri_body, ht0)
                     hpx = ox + t_best * dx
                     hpy = oy + t_best * dy
                     hpz = oz + t_best * dz
@@ -500,28 +666,55 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
 def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
                          samples_per_pixel, depth, seed=0, block_rows=128,
                          parity_plane_sign=True, count_all_lanes=False,
-                         interpret=False):
+                         interpret=False, sph_clusters=None,
+                         tri_clusters=None):
     """Mean linear radiance [H, W, 3] + segment count, fused kernel.
 
     sph_table: (SPH_ROWS, S) from pack_spheres; tri_table: (TRI_ROWS, T)
     from pack_triangles; cam_vec: (12,) f32 [origin, llc, horizontal,
-    vertical].
+    vertical].  sph_clusters/tri_clusters: optional (bounds (4, C) f32,
+    ranges (2, C) i32) from cluster_spheres/cluster_triangles — the TABLES
+    MUST then be packed with the matching perm; enables block-level culling.
+
+    tri_clusters requires parity_plane_sign=False: the reference's
+    wrong-sign plane equation (common.rs:140-141) registers hits at t values
+    unrelated to triangle geometry for origins != 0, so vertex-derived
+    bounds cannot contain them.
     """
-    npix = width * height
-    block = block_rows * LANES
-    nblocks = pl.cdiv(npix, block)
+    if tri_clusters is not None and parity_plane_sign:
+        raise ValueError(
+            "tri_clusters culling is unsound with parity_plane_sign=True "
+            "(bounce-ray hits escape vertex-derived bounds)")
+    ntx = pl.cdiv(width, LANES)
+    nty = pl.cdiv(height, block_rows)
+    nblocks = ntx * nty
     rows_total = nblocks * block_rows
     n_spheres = sph_table.shape[1]
     n_tris = tri_table.shape[1]
 
+    if sph_clusters is None:
+        sphc_b = jnp.zeros((4, 1), jnp.float32)
+        sphc_r = jnp.zeros((2, 1), jnp.int32)
+        n_sph_clusters = 0
+    else:
+        sphc_b, sphc_r = sph_clusters
+        n_sph_clusters = sphc_b.shape[1]
+    if tri_clusters is None:
+        tric_b = jnp.zeros((4, 1), jnp.float32)
+        tric_r = jnp.zeros((2, 1), jnp.int32)
+        n_tri_clusters = 0
+    else:
+        tric_b, tric_r = tri_clusters
+        n_tri_clusters = tric_b.shape[1]
+
     kernel = _make_kernel(width, height, samples_per_pixel, depth,
                           n_spheres, n_tris, block_rows, parity_plane_sign,
-                          count_all_lanes)
+                          count_all_lanes, n_sph_clusters, n_tri_clusters)
 
     seed_arr = (jnp.uint32(seed) * _SEED_MIX)[None]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=8,
         grid=(nblocks,),
         in_specs=[],
         out_specs=pl.BlockSpec((4, block_rows, LANES),
@@ -534,13 +727,18 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, rows_total, LANES), jnp.float32),
         interpret=interpret,
-    )(cam_vec, sph_table, tri_table, seed_arr)
+    )(cam_vec, sph_table, sphc_b, sphc_r, tri_table, tric_b, tric_r,
+      seed_arr)
 
-    flat = img.reshape(4, rows_total * LANES)
-    mean = jnp.moveaxis(flat[:3, :npix].reshape(3, height, width), 0, -1)
+    # un-tile: blocks are (block_rows x LANES) image tiles in row-major
+    # (ty, tx) order
+    tiles = img.reshape(4, nty, ntx, block_rows, LANES)
+    planes = tiles.transpose(0, 1, 3, 2, 4).reshape(
+        4, nty * block_rows, ntx * LANES)[:, :height, :width]
+    mean = jnp.moveaxis(planes[:3], 0, -1)
     # per-lane counts are small ints (<= spp*depth, exact in f32); the sum
     # may round a few ulp at very large configs — fine for rays/s accounting
-    return mean, jnp.sum(flat[3])
+    return mean, jnp.sum(tiles[3])
 
 
 def camera_vec(camera: Camera) -> jax.Array:

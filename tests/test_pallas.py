@@ -52,6 +52,68 @@ class TestKernelInterpret:
                                    atol=1e-5)
 
 
+class TestClusterCulling:
+    """Block-level bounding-sphere culling must be a pure optimization:
+    bit-identical to the flat primitive scan."""
+
+    def test_sphere_clusters_exact(self):
+        scene, cam = rt.models.random_spheres(n=96, seed=11)
+        cv = wf.camera_vec(cam)
+        sph = jnp.asarray(wf.pack_spheres(scene))
+        tri = jnp.asarray(wf.pack_triangles(scene))
+        flat, segf = wf.render_linear_pallas(
+            sph, tri, cv, width=24, height=16, samples_per_pixel=1, depth=3,
+            block_rows=8, interpret=True)
+        perm, b, rg = wf.cluster_spheres(scene, leaf_target=16)
+        sph_p = jnp.asarray(wf.pack_spheres(scene, perm=perm))
+        clus, segc = wf.render_linear_pallas(
+            sph_p, tri, cv, width=24, height=16, samples_per_pixel=1,
+            depth=3, block_rows=8, interpret=True,
+            sph_clusters=(jnp.asarray(b), jnp.asarray(rg)))
+        np.testing.assert_array_equal(np.asarray(flat), np.asarray(clus))
+        assert float(segf) == float(segc)
+
+    def test_tri_clusters_exact_correct_plane_sign(self):
+        scene, cam = rt.models.mesh_scene(subdivisions=2)
+        cv = wf.camera_vec(cam)
+        sph = jnp.asarray(wf.pack_spheres(scene))
+        tri = jnp.asarray(wf.pack_triangles(scene))
+        flat, _ = wf.render_linear_pallas(
+            sph, tri, cv, width=24, height=16, samples_per_pixel=1, depth=3,
+            block_rows=8, interpret=True, parity_plane_sign=False)
+        perm, b, rg = wf.cluster_triangles(scene, leaf_target=24)
+        tri_p = jnp.asarray(wf.pack_triangles(scene, perm=perm))
+        clus, _ = wf.render_linear_pallas(
+            sph, tri_p, cv, width=24, height=16, samples_per_pixel=1,
+            depth=3, block_rows=8, interpret=True, parity_plane_sign=False,
+            tri_clusters=(jnp.asarray(b), jnp.asarray(rg)))
+        np.testing.assert_array_equal(np.asarray(flat), np.asarray(clus))
+
+    def test_tri_clusters_rejected_in_parity_mode(self):
+        scene, cam = rt.models.mesh_scene(subdivisions=1)
+        cv = wf.camera_vec(cam)
+        sph = jnp.asarray(wf.pack_spheres(scene))
+        perm, b, rg = wf.cluster_triangles(scene)
+        tri_p = jnp.asarray(wf.pack_triangles(scene, perm=perm))
+        with pytest.raises(ValueError, match="parity_plane_sign"):
+            wf.render_linear_pallas(
+                sph, tri_p, cv, width=8, height=8, samples_per_pixel=1,
+                depth=2, block_rows=8, interpret=True,
+                parity_plane_sign=True,
+                tri_clusters=(jnp.asarray(b), jnp.asarray(rg)))
+
+    def test_cluster_perm_covers_all_columns(self):
+        scene, cam = rt.models.random_spheres(n=70, seed=3)
+        perm, b, rg = wf.cluster_spheres(scene, leaf_target=16)
+        assert sorted(perm.tolist()) == list(range(scene.num_spheres))
+        # every range lies inside the valid prefix and they tile it
+        n_valid = int(np.asarray(scene.sphere_valid).sum())
+        starts = sorted(rg[0].tolist())
+        ends = sorted(rg[1].tolist())
+        assert starts[0] == 0 and ends[-1] == n_valid
+        assert starts[1:] == ends[:-1]
+
+
 class TestSceneTables:
     def test_pack_spheres_layout(self, default_world):
         scene = default_world.to_scene()
