@@ -70,6 +70,8 @@ def write_png(framebuffer: np.ndarray, path: str) -> None:
     import zlib
 
     fb = np.asarray(framebuffer)
+    if fb.dtype != np.uint8:   # accept [0,1] float images for quick viewing
+        fb = (np.clip(fb, 0.0, 1.0) * 255.999).astype(np.uint8)
     if fb.shape[2] == 3:
         a = np.full(fb.shape[:2] + (1,), 255, np.uint8)
         fb = np.concatenate([fb, a], axis=-1)

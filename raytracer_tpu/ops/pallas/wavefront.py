@@ -664,7 +664,7 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                      "block_rows", "parity_plane_sign", "count_all_lanes",
                      "interpret"))
 def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
-                         samples_per_pixel, depth, seed=0, block_rows=128,
+                         samples_per_pixel, depth, seed=0, block_rows=32,
                          parity_plane_sign=True, count_all_lanes=False,
                          interpret=False, sph_clusters=None,
                          tri_clusters=None):
@@ -675,6 +675,11 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
     vertical].  sph_clusters/tri_clusters: optional (bounds (4, C) f32,
     ranges (2, C) i32) from cluster_spheres/cluster_triangles — the TABLES
     MUST then be packed with the matching perm; enables block-level culling.
+
+    block_rows=32 (a 32x128-pixel tile) measured fastest across scene
+    sizes on v5e: tiles small enough that sky-heavy blocks retire bounces
+    early and frustums stay tight for cluster culling, large enough to
+    amortize per-block setup.
 
     tri_clusters requires parity_plane_sign=False: the reference's
     wrong-sign plane equation (common.rs:140-141) registers hits at t values

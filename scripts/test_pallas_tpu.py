@@ -35,7 +35,7 @@ def compare(world, W, H, spp, depth, label):
     return err.max()
 
 
-def bench_pallas(world, W, H, spp, depth, block_rows=128):
+def bench_pallas(world, W, H, spp, depth, block_rows=32):
     scene = world.to_scene()
     cam = world.to_camera()
     sph = jnp.asarray(wf.pack_spheres(scene))
@@ -67,5 +67,5 @@ if __name__ == "__main__":
     compare(w, 64, 36, 4, 4, "default")
     wt = rt.models.ffi_example_world()
     compare(wt, 64, 64, 2, 4, "triangles")
+    bench_pallas(w, 512, 512, 64, 8, block_rows=32)
     bench_pallas(w, 512, 512, 64, 8, block_rows=128)
-    bench_pallas(w, 512, 512, 64, 8, block_rows=256)
