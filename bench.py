@@ -95,6 +95,20 @@ def bench_all():
         "value": int(segs) / dt, "unit": "rays/s",
         "vs_baseline": int(segs) / dt / PER_CHIP_TARGET})
 
+    # config 3 at its stated scale: ~10k-tri OBJ mesh, corrected plane
+    # equation (parity_plane_sign=False enables sound cluster culling; the
+    # reference's wrong-sign formula is a compat flag, not geometry)
+    oscene, ocam = rt.models.obj_mesh_scene()
+    def run_obj(seed):
+        return ops_mod.render_linear_fast(
+            oscene, ocam, width=512, height=512, samples_per_pixel=4,
+            depth=4, seed=seed, parity_plane_sign=False)
+    dt, (_, segs) = _time_best(run_obj)
+    results.append({
+        "metric": f"obj_mesh_{oscene.num_triangles}tri_512x512_4spp",
+        "value": int(segs) / dt, "unit": "rays/s",
+        "vs_baseline": int(segs) / dt / PER_CHIP_TARGET})
+
     # gradient pass (inverse-rendering step): forward+backward rays/s
     world = rt.models.default_world()
     dscene, dcam = world.to_scene(), world.to_camera()

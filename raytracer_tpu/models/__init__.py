@@ -7,6 +7,7 @@ one-weekend random-sphere scene, a triangle-mesh scene, and a Cornell-style
 box — all built here as SoA Scene pytrees.
 """
 
+from . import obj
 from .builders import (
     default_world,
     default_world_source,
@@ -18,10 +19,12 @@ from .builders import (
     cube_mesh,
     icosphere_mesh,
     mesh_scene,
+    obj_mesh_scene,
 )
 
 __all__ = [
     "default_world", "default_world_source", "ffi_example_world",
     "ffi_example_source", "sphere_and_ground", "random_spheres",
     "cornell_spheres", "cube_mesh", "icosphere_mesh", "mesh_scene",
+    "obj_mesh_scene", "obj",
 ]

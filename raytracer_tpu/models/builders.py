@@ -240,3 +240,32 @@ def mesh_scene(subdivisions: int = 3) -> Tuple[Scene, Camera]:
     scene = build_scene(spheres, tris, build_materials(mats))
     cam = Camera.new_at((0.0, 0.0, 0.0), 1.77778)
     return scene, cam
+
+
+def obj_mesh_scene(n_target_tris: int = 10240) -> Tuple[Scene, Camera]:
+    """~10k-triangle OBJ scene (BASELINE.json config 3 at its stated scale:
+    "low-poly OBJ, ~10k tris", brute-force BVH-free intersect).
+
+    Two subdiv-4 icospheres (5120 tris each) round-tripped through the OBJ
+    text format — the scene exercises ``models.obj`` end-to-end rather than
+    feeding procedural arrays straight in.
+    """
+    from . import obj as obj_mod
+
+    mats = [
+        (DIFFUSE, (0.7, 0.3, 0.3), 0.0, 1.0),
+        (DIFFUSE, (0.8, 0.8, 0.0), 0.0, 1.0),
+        (METAL, (0.85, 0.85, 0.9), 0.05, 1.0),
+    ]
+    # a unit icosphere asset, serialized to OBJ once and instanced twice
+    unit = icosphere_mesh((0.0, 0.0, 0.0), 1.0, 0, 4)
+    asset = obj_mod.dump_obj(unit)
+    tris = obj_mod.parse_obj(asset, 0, scale=0.45,
+                             translate=(-0.6, 0.0, -1.4))
+    tris += obj_mod.parse_obj(asset, 2, scale=0.45,
+                              translate=(0.6, 0.0, -1.4))
+    assert len(tris) <= n_target_tris
+    spheres = [((0.0, -100.5, -1.0), 100.0, 1)]
+    scene = build_scene(spheres, tris, build_materials(mats))
+    cam = Camera.new_at((0.0, 0.0, 0.0), 1.77778)
+    return scene, cam

@@ -19,9 +19,11 @@ from .. import render as render_mod
 from ..camera import Camera
 from ..scene import Scene
 
-# SMEM scene-table budgets (f32 rows x primitives; v5e SMEM is tens of KB)
-MAX_PALLAS_SPHERES = 2048
-MAX_PALLAS_TRIS = 2048
+# Combined SMEM scene-table budget: the scalar-prefetch tables must fit the
+# core's scalar memory.  Measured on v5e: 970,828 bytes of tables compiles
+# and runs, 989,596 fails — gate at the last known-good size (10,552 tris,
+# or ~22k spheres alone).
+PALLAS_SMEM_BUDGET_BYTES = 970_828
 
 # primitive counts at which the kernel switches from the flat scan to
 # cluster culling (median-split leaves + block-level bound tests)
@@ -36,10 +38,15 @@ def backend_is_tpu() -> bool:
         return False
 
 
+def pallas_table_bytes(scene: Scene) -> int:
+    from .pallas import wavefront as wf
+    return 4 * (scene.num_spheres * wf.SPH_ROWS
+                + max(scene.num_triangles, 1) * wf.TRI_ROWS)
+
+
 def can_use_pallas(scene: Scene) -> bool:
     return (backend_is_tpu()
-            and scene.num_spheres <= MAX_PALLAS_SPHERES
-            and scene.num_triangles <= MAX_PALLAS_TRIS)
+            and pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES)
 
 
 def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
