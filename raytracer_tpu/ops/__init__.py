@@ -9,6 +9,7 @@ VJP).
 
 from __future__ import annotations
 
+import weakref
 from typing import Tuple
 
 import jax
@@ -49,6 +50,51 @@ def can_use_pallas(scene: Scene) -> bool:
             and pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES)
 
 
+# Host-side scene packing is O(S + T log T) numpy work per call; interactive
+# camera moves and bench loops render the SAME scene object every frame, so
+# the packed tables are memoized on scene identity (lib.rs:60-63 interactive
+# path).  ``pack_events`` counts actual packing work for tests/profiling.
+_TABLE_CACHE: dict = {}
+pack_events = 0
+
+
+def scene_tables(scene: Scene, parity_plane_sign: bool):
+    """Packed Pallas scene tables (+ cluster structures), cached on the
+    identity of ``scene``.  Returns (sph, tri, sph_clusters, tri_clusters)
+    ready for ``render_linear_pallas``."""
+    global pack_events
+    key = (id(scene), parity_plane_sign)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0]() is scene:
+        return hit[1]
+    from .pallas import wavefront as wf
+    pack_events += 1
+    sph_perm = tri_perm = None
+    sph_cl = tri_cl = None
+    if int(np.sum(np.asarray(scene.sphere_valid))) >= CLUSTER_MIN_SPHERES:
+        sph_perm, b, rg = wf.cluster_spheres(scene)
+        sph_cl = (jnp.asarray(b), jnp.asarray(rg))
+    # Triangle culling is only sound with the CORRECT plane equation:
+    # under parity_plane_sign (the reference's wrong-sign formula,
+    # common.rs:140-141) bounce rays with origin != 0 register hits at
+    # t values unrelated to the triangle's actual geometry, so no
+    # vertex-derived bound contains them.
+    if (not parity_plane_sign
+            and int(np.sum(np.asarray(scene.tri_valid)))
+            >= CLUSTER_MIN_TRIS):
+        tri_perm, b, rg = wf.cluster_triangles(scene)
+        tri_cl = (jnp.asarray(b), jnp.asarray(rg))
+    sph = jnp.asarray(wf.pack_spheres(scene, perm=sph_perm))
+    tri = jnp.asarray(wf.pack_triangles(scene, perm=tri_perm))
+    tables = (sph, tri, sph_cl, tri_cl)
+    # prune entries whose scene died (cheap: the cache stays tiny)
+    dead = [k for k, v in _TABLE_CACHE.items() if v[0]() is None]
+    for k in dead:
+        del _TABLE_CACHE[k]
+    _TABLE_CACHE[key] = (weakref.ref(scene), tables)
+    return tables
+
+
 def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
                        height: int, samples_per_pixel: int, depth: int,
                        seed: int = 0, parity_plane_sign: bool = True,
@@ -61,23 +107,7 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
         engine = "pallas" if can_use_pallas(scene) else "xla"
     if engine == "pallas":
         from .pallas import wavefront as wf
-        sph_perm = tri_perm = None
-        sph_cl = tri_cl = None
-        if int(np.sum(np.asarray(scene.sphere_valid))) >= CLUSTER_MIN_SPHERES:
-            sph_perm, b, rg = wf.cluster_spheres(scene)
-            sph_cl = (jnp.asarray(b), jnp.asarray(rg))
-        # Triangle culling is only sound with the CORRECT plane equation:
-        # under parity_plane_sign (the reference's wrong-sign formula,
-        # common.rs:140-141) bounce rays with origin != 0 register hits at
-        # t values unrelated to the triangle's actual geometry, so no
-        # vertex-derived bound contains them.
-        if (not parity_plane_sign
-                and int(np.sum(np.asarray(scene.tri_valid)))
-                >= CLUSTER_MIN_TRIS):
-            tri_perm, b, rg = wf.cluster_triangles(scene)
-            tri_cl = (jnp.asarray(b), jnp.asarray(rg))
-        sph = jnp.asarray(wf.pack_spheres(scene, perm=sph_perm))
-        tri = jnp.asarray(wf.pack_triangles(scene, perm=tri_perm))
+        sph, tri, sph_cl, tri_cl = scene_tables(scene, parity_plane_sign)
         cv = wf.camera_vec(camera)
         mean, segs = wf.render_linear_pallas(
             sph, tri, cv, width=width, height=height,

@@ -262,9 +262,11 @@ def cluster_triangles(scene: Scene, leaf_target: int = 64):
 
 def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                  parity_plane_sign, count_all_lanes,
-                 n_sph_clusters=0, n_tri_clusters=0):
+                 n_sph_clusters=0, n_tri_clusters=0, shard_rows=None):
     npix = width * height
     R = block_rows
+    if shard_rows is None:
+        shard_rows = height
     ntx = pl.cdiv(width, LANES)
     inv_w1 = np.float32(width - 1)
     inv_h1 = np.float32(height - 1)
@@ -278,11 +280,18 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
         blk = pl.program_id(0)
         ty = blk // ntx
         tx = blk - ty * ntx
+        # seed_ref[1] is the global row offset of this kernel invocation's
+        # row band — the device's shard origin under shard_map (identical
+        # pixel ids/RNG streams to a single-device full-image render)
+        row_offset = seed_ref[1].astype(jnp.int32)
         lane_row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-        prow = ty * R + lane_row
+        band_row = ty * R + lane_row        # row within this shard's band
+        prow = row_offset + band_row
         pcol = tx * LANES + lane_col
-        active0 = (prow < height) & (pcol < width)
+        # lanes outside the image OR outside this shard's row band are dead
+        # from the start (band overlap would double-trace and double-count)
+        active0 = (prow < height) & (pcol < width) & (band_row < shard_rows)
         prow = jnp.minimum(prow, height - 1)
         pcol = jnp.minimum(pcol, width - 1)
         pix_safe = prow * width + pcol                     # (R,128) int32
@@ -662,19 +671,26 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
                      "block_rows", "parity_plane_sign", "count_all_lanes",
-                     "interpret"))
+                     "interpret", "shard_rows"))
 def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
                          samples_per_pixel, depth, seed=0, block_rows=32,
                          parity_plane_sign=True, count_all_lanes=False,
                          interpret=False, sph_clusters=None,
-                         tri_clusters=None):
-    """Mean linear radiance [H, W, 3] + segment count, fused kernel.
+                         tri_clusters=None, shard_rows=None, row_offset=0):
+    """Mean linear radiance [rows, W, 3] + segment count, fused kernel.
 
     sph_table: (SPH_ROWS, S) from pack_spheres; tri_table: (TRI_ROWS, T)
     from pack_triangles; cam_vec: (12,) f32 [origin, llc, horizontal,
     vertical].  sph_clusters/tri_clusters: optional (bounds (4, C) f32,
     ranges (2, C) i32) from cluster_spheres/cluster_triangles — the TABLES
     MUST then be packed with the matching perm; enables block-level culling.
+
+    shard_rows/row_offset render a ROW BAND of the full image: ``shard_rows``
+    (static; default = height) rows starting at global row ``row_offset``
+    (traced, so a shard_map body can pass ``axis_index * rows_per_shard``).
+    Pixel ids — and therefore RNG streams and every per-lane float — depend
+    only on global (row, col), so a banded render is bitwise identical to
+    the matching rows of a whole-image render.
 
     block_rows=32 (a 32x128-pixel tile) measured fastest across scene
     sizes on v5e: tiles small enough that sky-heavy blocks retire bounces
@@ -690,8 +706,10 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
         raise ValueError(
             "tri_clusters culling is unsound with parity_plane_sign=True "
             "(bounce-ray hits escape vertex-derived bounds)")
+    if shard_rows is None:
+        shard_rows = height
     ntx = pl.cdiv(width, LANES)
-    nty = pl.cdiv(height, block_rows)
+    nty = pl.cdiv(shard_rows, block_rows)
     nblocks = ntx * nty
     rows_total = nblocks * block_rows
     n_spheres = sph_table.shape[1]
@@ -714,9 +732,12 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
 
     kernel = _make_kernel(width, height, samples_per_pixel, depth,
                           n_spheres, n_tris, block_rows, parity_plane_sign,
-                          count_all_lanes, n_sph_clusters, n_tri_clusters)
+                          count_all_lanes, n_sph_clusters, n_tri_clusters,
+                          shard_rows=shard_rows)
 
-    seed_arr = (jnp.uint32(seed) * _SEED_MIX)[None]
+    seed_arr = jnp.stack([
+        jnp.uint32(seed) * _SEED_MIX,
+        jnp.asarray(row_offset, jnp.int32).astype(jnp.uint32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
@@ -739,7 +760,7 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
     # (ty, tx) order
     tiles = img.reshape(4, nty, ntx, block_rows, LANES)
     planes = tiles.transpose(0, 1, 3, 2, 4).reshape(
-        4, nty * block_rows, ntx * LANES)[:, :height, :width]
+        4, nty * block_rows, ntx * LANES)[:, :shard_rows, :width]
     mean = jnp.moveaxis(planes[:3], 0, -1)
     # per-lane counts are small ints (<= spp*depth, exact in f32); the sum
     # may round a few ulp at very large configs — fine for rays/s accounting

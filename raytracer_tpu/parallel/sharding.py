@@ -74,15 +74,88 @@ def render_linear_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
     return mean.reshape(height, width, 3), segments
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_pallas_fn(mesh: Mesh, width: int, height: int,
+                       samples_per_pixel: int, depth: int,
+                       parity_plane_sign: bool, rows_per: int,
+                       interpret: bool, has_sph_cl: bool, has_tri_cl: bool):
+    """Build (once per static config) the jitted shard_map'd megakernel.
+
+    Each device runs the fused Pallas kernel on its own row band
+    (``axis_index * rows_per`` global row offset); per-pixel math depends
+    only on global (row, col), so the gathered image is bitwise identical
+    to a single-device kernel render.  The only collective is the segment
+    psum — multi-chip inherits single-chip kernel speed.
+    """
+    from ..ops.pallas import wavefront as wf
+
+    cl_spec = (P(), P()) if has_sph_cl else None
+    tcl_spec = (P(), P()) if has_tri_cl else None
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), cl_spec, tcl_spec),
+        out_specs=(P(RAYS_AXIS), P()),
+        check_vma=False)  # kernel body is per-device; manual replication
+    def run(sph, tri, cv, seed, sph_cl, tri_cl):
+        row0 = jax.lax.axis_index(RAYS_AXIS).astype(jnp.int32) * rows_per
+        mean, segs = wf.render_linear_pallas(
+            sph, tri, cv, width=width, height=height,
+            samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
+            parity_plane_sign=parity_plane_sign, sph_clusters=sph_cl,
+            tri_clusters=tri_cl, shard_rows=rows_per, row_offset=row0,
+            interpret=interpret)
+        return mean, jax.lax.psum(segs, RAYS_AXIS)
+
+    return run
+
+
+def render_linear_sharded_fast(scene: Scene, camera: Camera, *, mesh: Mesh,
+                               width: int, height: int,
+                               samples_per_pixel: int, depth: int,
+                               parity_plane_sign: bool = True,
+                               seed: int = 0, engine: str = "auto",
+                               interpret: bool = False):
+    """Sharded render through the fastest engine (VERDICT round-1 item 1).
+
+    engine "auto" picks the fused Pallas megakernel when it fits (same
+    dispatch rule as ``render_linear_fast``), falling back to the XLA
+    wavefront path.  Returns (mean radiance [H, W, 3], segment count).
+    Note the Pallas path is forward-only; for gradients use
+    ``render_linear_sharded`` (engine="xla").
+    """
+    from .. import ops as ops_mod
+    if engine == "auto":
+        engine = "pallas" if ops_mod.can_use_pallas(scene) else "xla"
+    if engine != "pallas":
+        return render_linear_sharded(
+            scene, camera, mesh=mesh, width=width, height=height,
+            samples_per_pixel=samples_per_pixel, depth=depth,
+            parity_plane_sign=parity_plane_sign, seed=seed)
+    from ..ops.pallas import wavefront as wf
+    sph, tri, sph_cl, tri_cl = ops_mod.scene_tables(scene, parity_plane_sign)
+    cv = wf.camera_vec(camera)
+    n = mesh.shape[RAYS_AXIS]
+    rows_per = pad_to_multiple(height, n) // n
+    run = _sharded_pallas_fn(mesh, width, height, samples_per_pixel, depth,
+                             parity_plane_sign, rows_per, interpret,
+                             sph_cl is not None, tri_cl is not None)
+    mean, segs = run(sph, tri, cv, jnp.uint32(seed), sph_cl, tri_cl)
+    return mean[:height], segs
+
+
 def ray_trace_sharded(scene: Scene, camera: Camera, width: int, height: int,
                       options: Options | None = None,
                       mesh: Mesh | None = None) -> Tuple[np.ndarray, int]:
-    """Sharded equivalent of ``render.ray_trace`` (u8 RGBA output)."""
+    """Sharded equivalent of ``render.ray_trace`` (u8 RGBA output), routed
+    through the same engine dispatch as the single-device path."""
     options = options or Options()
     mesh = mesh or make_mesh()
-    mean, segments = render_linear_sharded(
+    mean, segments = render_linear_sharded_fast(
         scene, camera, mesh=mesh, width=width, height=height,
         samples_per_pixel=options.samples_per_pixel,
         depth=options.max_ray_bounces,
-        parity_plane_sign=options.parity_plane_sign, seed=options.seed)
+        parity_plane_sign=options.parity_plane_sign, seed=options.seed,
+        engine=options.engine)
     return np.asarray(finalize_image(mean)), int(segments)

@@ -72,6 +72,91 @@ class TestShardedRender:
         assert segs > 0
 
 
+class TestShardedPallas:
+    """The fused megakernel under shard_map (VERDICT round-1 item 1): every
+    device runs the Pallas kernel (interpret mode on CPU) on its own row
+    band; the gathered image must be bitwise identical to the single-device
+    kernel render and the segment psum must match exactly."""
+
+    def test_sharded_kernel_bitwise_equal(self, default_world, mesh8):
+        from raytracer_tpu import ops as ops_mod
+        from raytracer_tpu.ops.pallas import wavefront as wf
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        W, H = 64, 48
+        sph, tri, scl, tcl = ops_mod.scene_tables(scene, True)
+        cv = wf.camera_vec(cam)
+        ref, seg_ref = wf.render_linear_pallas(
+            sph, tri, cv, width=W, height=H, samples_per_pixel=2, depth=4,
+            seed=3, interpret=True, sph_clusters=scl, tri_clusters=tcl)
+        out, seg = parallel.render_linear_sharded_fast(
+            scene, cam, mesh=mesh8, width=W, height=H, samples_per_pixel=2,
+            depth=4, seed=3, engine="pallas", interpret=True)
+        assert np.array_equal(np.asarray(ref), np.asarray(out))
+        assert int(seg_ref) == int(seg)
+
+    def test_sharded_kernel_non_divisible_rows(self, default_world, mesh8):
+        # 13 rows over 8 devices: rows_per=2, last shards get padding lanes
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        from raytracer_tpu import ops as ops_mod
+        from raytracer_tpu.ops.pallas import wavefront as wf
+        W, H = 32, 13
+        sph, tri, scl, tcl = ops_mod.scene_tables(scene, True)
+        ref, seg_ref = wf.render_linear_pallas(
+            sph, tri, wf.camera_vec(cam), width=W, height=H,
+            samples_per_pixel=2, depth=3, seed=1, interpret=True,
+            sph_clusters=scl, tri_clusters=tcl)
+        out, seg = parallel.render_linear_sharded_fast(
+            scene, cam, mesh=mesh8, width=W, height=H, samples_per_pixel=2,
+            depth=3, seed=1, engine="pallas", interpret=True)
+        assert np.array_equal(np.asarray(ref), np.asarray(out))
+        assert int(seg_ref) == int(seg)
+
+    def test_row_band_render_matches_full(self, default_world):
+        # banded kernel render (shard_rows/row_offset) == matching rows of a
+        # full render — the property the sharded path is built on
+        from raytracer_tpu import ops as ops_mod
+        from raytracer_tpu.ops.pallas import wavefront as wf
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        W, H = 32, 24
+        sph, tri, scl, tcl = ops_mod.scene_tables(scene, True)
+        cv = wf.camera_vec(cam)
+        full, _ = wf.render_linear_pallas(
+            sph, tri, cv, width=W, height=H, samples_per_pixel=2, depth=3,
+            interpret=True, sph_clusters=scl, tri_clusters=tcl)
+        band, _ = wf.render_linear_pallas(
+            sph, tri, cv, width=W, height=H, samples_per_pixel=2, depth=3,
+            interpret=True, sph_clusters=scl, tri_clusters=tcl,
+            shard_rows=8, row_offset=10)
+        assert np.array_equal(np.asarray(full)[10:18], np.asarray(band))
+
+    def test_xla_fallback_engine(self, default_world, mesh8):
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        img1, _ = rt.render_linear(scene, cam, width=16, height=8,
+                                   samples_per_pixel=2, depth=2)
+        img2, _ = parallel.render_linear_sharded_fast(
+            scene, cam, mesh=mesh8, width=16, height=8,
+            samples_per_pixel=2, depth=2, engine="xla")
+        assert np.array_equal(np.asarray(img1), np.asarray(img2))
+
+
+class TestPackCache:
+    def test_scene_tables_cached_on_identity(self, default_world):
+        from raytracer_tpu import ops as ops_mod
+        scene = default_world.to_scene()
+        t1 = ops_mod.scene_tables(scene, True)
+        n = ops_mod.pack_events
+        t2 = ops_mod.scene_tables(scene, True)
+        assert ops_mod.pack_events == n          # no repack
+        assert t1[0] is t2[0] and t1[1] is t2[1]
+        scene2 = default_world.to_scene()        # new object -> repack
+        ops_mod.scene_tables(scene2, True)
+        assert ops_mod.pack_events == n + 1
+
+
 class TestShardedGradients:
     def test_sharded_grad_matches_single_device(self, mesh8):
         w = rt.models.sphere_and_ground()
