@@ -40,14 +40,30 @@ def image_loss(rendered_linear, target_linear):
 
 def make_loss_fn(scene: Scene, camera: Camera, target_linear, *,
                  width: int, height: int, samples_per_pixel: int, depth: int,
-                 seed: int = 0, mesh=None,
-                 parity_plane_sign: bool = True) -> Callable:
+                 seed: int = 0, mesh=None, parity_plane_sign: bool = True,
+                 engine: str = "xla", interpret: bool = False) -> Callable:
     """loss(params) -> scalar.  With ``mesh``, rendering (and therefore the
-    backward pass, including the automatic gradient psum) is sharded."""
+    backward pass, including the automatic gradient psum) is sharded.
+
+    engine "pallas" (or "auto" on TPU when the scene fits) runs the FORWARD
+    render through the fused megakernel via its custom VJP
+    (ops/diff.render_linear_diff) — the backward pass re-linearizes the XLA
+    wavefront renderer.  Single-device only; with ``mesh`` the XLA path is
+    used regardless.
+    """
+    if engine == "auto":
+        from .. import ops as ops_mod
+        engine = ("pallas" if mesh is None and ops_mod.can_use_pallas(scene)
+                  else "xla")
 
     def loss(params):
         s = apply_params(scene, params)
-        if mesh is None:
+        if mesh is None and engine == "pallas":
+            from ..ops import diff as diff_mod
+            img = diff_mod.render_linear_diff(
+                s, camera, (width, height, samples_per_pixel, depth, seed,
+                            parity_plane_sign, interpret))
+        elif mesh is None:
             img, _ = render_mod.render_linear(
                 s, camera, width=width, height=height,
                 samples_per_pixel=samples_per_pixel, depth=depth,

@@ -248,10 +248,11 @@ def closest_hit_batch(origin, direction, scene: Scene, pack: ScenePack,
     nx = jnp.zeros((B,))
     ny = jnp.zeros((B,))
     nz = jnp.ones((B,))
+    sg = jnp.ones((B,))
     mat = jnp.zeros((B,), jnp.int32)
 
     def sphere_step(carry, xs):
-        t_best, nx, ny, nz, mat = carry
+        t_best, nx, ny, nz, sg, mat = carry
         c, r, m, valid = xs
         ocx = ox - c[0]
         ocy = oy - c[1]
@@ -274,23 +275,25 @@ def closest_hit_batch(origin, direction, scene: Scene, pack: ScenePack,
         nx = jnp.where(better, c[0], nx)
         ny = jnp.where(better, c[1], ny)
         nz = jnp.where(better, c[2], nz)
+        sg = jnp.where(better, jnp.where(r < 0.0, -1.0, 1.0), sg)
         mat = jnp.where(better, m, mat)
-        return (t_best, nx, ny, nz, mat), None
+        return (t_best, nx, ny, nz, sg, mat), None
 
-    (t_best, cx, cy, cz, mat), _ = jax.lax.scan(
-        sphere_step, (t_best, nx, ny, nz, mat),
+    (t_best, cx, cy, cz, sg, mat), _ = jax.lax.scan(
+        sphere_step, (t_best, nx, ny, nz, sg, mat),
         (scene.sphere_center, scene.sphere_radius,
          scene.sphere_mat, scene.sphere_valid))
 
     sphere_hit = jnp.isfinite(t_best)
     ts_safe = jnp.where(sphere_hit, t_best, 0.0)
-    # sphere normal ((p - c)/r).normalize(): the radius divide cancels in
-    # the normalization for r > 0 (no negative radii in the scene model)
+    # sphere normal ((p - c)/r).normalize() (common.rs:94-95): the radius
+    # divide cancels in the normalization up to its SIGN — a negative radius
+    # flips the normal (the RTiOW hollow-glass trick), carried in ``sg``
     snx = ox + ts_safe * dx - cx
     sny = oy + ts_safe * dy - cy
     snz = oz + ts_safe * dz - cz
     ln = maths.safe_sqrt(snx * snx + sny * sny + snz * snz)
-    ln = jnp.where(ln == 0.0, 1.0, ln)
+    ln = jnp.where(ln == 0.0, 1.0, ln) * sg
     nx = snx / ln
     ny = sny / ln
     nz = snz / ln

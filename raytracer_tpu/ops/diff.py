@@ -1,0 +1,138 @@
+"""Differentiable fast path: Pallas forward, custom VJP backward.
+
+The fused megakernel (ops/pallas/wavefront.py) is forward-only — Pallas
+kernels have no automatic transpose.  This module gives the renderer a
+``jax.custom_vjp`` so inverse rendering can ride the kernel:
+
+  * **forward** — the scene tables are packed with *traceable* jnp ops (so
+    scene parameters stay live under ``jit``/``grad``) and rendered by the
+    fused kernel;
+  * **backward** — the XLA wavefront renderer (render.py) is re-linearized
+    at the same inputs and its VJP maps the image cotangent to scene/camera
+    cotangents.  Both paths implement the identical algorithm
+    (common.rs:263-285 bounce rules with the same pcg3d RNG streams), so the
+    Jacobian is the same up to float rounding.
+
+This is the recompute-backward stepping stone: the forward pass (and any
+pure-forward rendering inside an optimization loop, e.g. line searches or
+preview frames) runs at kernel speed, while gradient math stays on XLA.
+A hand-derived backward kernel can replace ``_bwd`` without touching
+callers.
+
+Cluster culling is disabled on this path: the cull structures are built
+host-side from concrete geometry and would go stale as the optimizer moves
+primitives.  Typical inverse-rendering scenes are small, so the flat kernel
+loop is the right engine anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import render as render_mod
+from ..camera import Camera
+from ..scene import Scene
+from .pallas import wavefront as wf
+
+
+def pack_spheres_jnp(scene: Scene) -> jax.Array:
+    """Traceable (SPH_ROWS, S) sphere table — jnp mirror of
+    ``wavefront.pack_spheres`` (no permutation)."""
+    c = scene.sphere_center.astype(jnp.float32)
+    r = scene.sphere_radius.astype(jnp.float32)
+    valid = scene.sphere_valid
+    mat = scene.sphere_mat
+    kind = scene.materials.kind.astype(jnp.float32)[mat]
+    alb = scene.materials.color.astype(jnp.float32)[mat]
+    fuzz = scene.materials.fuzz.astype(jnp.float32)[mat]
+    ir = scene.materials.ir.astype(jnp.float32)[mat]
+    # negative radius flips the geometric normal ((p-c)/r, common.rs:94-95):
+    # encoded as kind+4 so the kernel recovers the sign without an extra
+    # select plane in the intersection loop
+    kind = kind + jnp.where(valid & (r < 0.0), 4.0, 0.0)
+    cx = jnp.where(valid, c[:, 0], 1e9)
+    return jnp.stack([
+        cx, c[:, 1], c[:, 2], r,
+        jnp.where(valid, r * r, -1.0),
+        kind, alb[:, 0], alb[:, 1], alb[:, 2], fuzz, ir,
+    ])
+
+
+def pack_triangles_jnp(scene: Scene) -> jax.Array:
+    """Traceable (TRI_ROWS, T) triangle table — jnp mirror of
+    ``wavefront.pack_triangles`` (no permutation).
+
+    Note: the host packer precomputes in f64; this traceable version is f32
+    end-to-end (TPU has no f64), costing ~1 ulp on the edge-test constants.
+    """
+    v0 = scene.tri_v0.astype(jnp.float32)
+    v1 = scene.tri_v1.astype(jnp.float32)
+    v2 = scene.tri_v2.astype(jnp.float32)
+    valid = scene.tri_valid
+    mat = scene.tri_mat
+    kind = scene.materials.kind.astype(jnp.float32)[mat]
+    alb = scene.materials.color.astype(jnp.float32)[mat]
+    n = jnp.cross(v1 - v0, v2 - v0)
+    d = jnp.einsum("ij,ij->i", n, v0)
+    g0 = jnp.cross(n, v1 - v0)
+    g1 = jnp.cross(n, v2 - v1)
+    g2 = jnp.cross(n, v0 - v2)
+    w0 = jnp.einsum("ij,ij->i", v0, g0)
+    w1 = jnp.einsum("ij,ij->i", v1, g1)
+    w2 = jnp.einsum("ij,ij->i", v2, g2)
+    ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    un = n / jnp.where(ln == 0.0, 1.0, ln)
+    rows = jnp.stack([
+        n[:, 0], n[:, 1], n[:, 2], d,
+        g0[:, 0], g0[:, 1], g0[:, 2], w0,
+        g1[:, 0], g1[:, 1], g1[:, 2], w1,
+        g2[:, 0], g2[:, 1], g2[:, 2], w2,
+        un[:, 0], un[:, 1], un[:, 2],
+        kind, alb[:, 0], alb[:, 1], alb[:, 2],
+    ])
+    return jnp.where(valid[None, :], rows, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def render_linear_diff(scene: Scene, camera: Camera, statics):
+    """Differentiable mean linear radiance [H, W, 3], Pallas forward.
+
+    statics: (width, height, samples_per_pixel, depth, seed,
+              parity_plane_sign, interpret).
+    """
+    return _pallas_forward(scene, camera, statics)
+
+
+def _pallas_forward(scene, camera, statics):
+    width, height, spp, depth, seed, pps, interpret = statics
+    sph = pack_spheres_jnp(scene)
+    tri = pack_triangles_jnp(scene)
+    cv = wf.camera_vec(camera)
+    mean, _segs = wf.render_linear_pallas(
+        sph, tri, cv, width=width, height=height, samples_per_pixel=spp,
+        depth=depth, seed=seed, parity_plane_sign=pps, interpret=interpret)
+    return mean
+
+
+def _fwd(scene, camera, statics):
+    return _pallas_forward(scene, camera, statics), (scene, camera)
+
+
+def _bwd(statics, residuals, g):
+    width, height, spp, depth, seed, pps, _interpret = statics
+    scene, camera = residuals
+
+    def xla_render(s, c):
+        img, _segs = render_mod.render_linear(
+            s, c, width=width, height=height, samples_per_pixel=spp,
+            depth=depth, parity_plane_sign=pps, seed=seed)
+        return img
+
+    _, vjp_fn = jax.vjp(xla_render, scene, camera)
+    return vjp_fn(g)
+
+
+render_linear_diff.defvjp(_fwd, _bwd)

@@ -109,7 +109,10 @@ def pack_spheres(scene: Scene, perm=None) -> np.ndarray:
     out[_SPH_CX], out[_SPH_CY], out[_SPH_CZ] = c[:, 0], c[:, 1], c[:, 2]
     out[_SPH_R] = r
     out[_SPH_R2] = np.where(valid, r * r, -1.0)  # invalid -> r2<0 never hits
-    out[_SPH_KIND] = kind
+    # negative radius flips the geometric normal ((p-c)/r, common.rs:94-95,
+    # the RTiOW hollow-glass trick): encoded as kind+4 so the kernel recovers
+    # the sign without an extra select plane in the intersection loop
+    out[_SPH_KIND] = kind + np.where(valid & (r < 0.0), 4.0, 0.0)
     out[_SPH_AR], out[_SPH_AG], out[_SPH_AB] = alb[:, 0], alb[:, 1], alb[:, 2]
     out[_SPH_FUZZ] = fuzz
     out[_SPH_IR] = ir
@@ -436,8 +439,9 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                     (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
                         jax.lax.fori_loop(0, n_spheres, sph_body, hs0)
 
-                # sphere hit normal from stored center (normalized direction
-                # from center to hit point; sign of r handled by normalize)
+                # sphere hit normal from stored center: normalize(p - c)
+                # flipped for negative radii ((p-c)/r, common.rs:94-95; the
+                # sign rides the kind encoding, kind+4 <=> r<0)
                 hpx = ox + t_best * dx
                 hpy = oy + t_best * dy
                 hpz = oz + t_best * dz
@@ -446,6 +450,9 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                 snz = hpz - nz
                 slen = jnp.sqrt(snx * snx + sny * sny + snz * snz)
                 slen = jnp.where(slen == 0.0, 1.0, slen)
+                neg_r = kind >= 3.5
+                slen = jnp.where(neg_r, -slen, slen)
+                kind = jnp.where(neg_r, kind - 4.0, kind)
                 nx = snx / slen
                 ny = sny / slen
                 nz = snz / slen

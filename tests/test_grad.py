@@ -182,3 +182,48 @@ class TestInverseRendering:
                          checkpoint_path=ck, checkpoint_every=5, seed=9)
         assert r2.steps_run == 5  # resumed, not restarted
         assert len(r2.losses) == 15
+
+
+class TestDiffPallasPath:
+    """render_linear_diff: Pallas forward via custom VJP, XLA recompute
+    backward (VERDICT round-1 item 2, stepping stone)."""
+
+    def test_value_and_grads_match_xla(self):
+        w = rt.models.sphere_and_ground()
+        scene, cam = w.to_scene(), w.to_camera()
+        W, H = 24, 16
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=2, seed=3)
+        params = gradmod.extract_params(scene, ["sphere_center", "mat_color"])
+        params["sphere_center"] = params["sphere_center"] + 0.02
+        loss_x = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                      samples_per_pixel=2, depth=2, seed=3)
+        loss_p = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                      samples_per_pixel=2, depth=2, seed=3,
+                                      engine="pallas", interpret=True)
+        v1, g1 = jax.value_and_grad(loss_x)(params)
+        v2, g2 = jax.jit(jax.value_and_grad(loss_p))(params)
+        assert abs(float(v1) - float(v2)) < 1e-5
+        for k in params:
+            np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                       rtol=1e-4, atol=1e-7)
+
+    def test_fit_loop_through_kernel_forward(self):
+        w = rt.models.sphere_and_ground()
+        scene, cam = w.to_scene(), w.to_camera()
+        W = H = 12
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=1, depth=2, seed=5)
+        params = gradmod.extract_params(scene, ["mat_color"])
+        params["mat_color"] = params["mat_color"] * 0.7
+        loss_p = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                      samples_per_pixel=1, depth=2, seed=5,
+                                      engine="pallas", interpret=True)
+        import optax
+        opt = optax.adam(1e-2)
+        step = gradmod.make_train_step(loss_p, opt)
+        state = opt.init(params)
+        p, state, l0 = step(params, state)
+        for _ in range(4):
+            p, state, l1 = step(p, state)
+        assert float(l1) < float(l0)

@@ -160,3 +160,55 @@ class TestEngineDispatch:
                                 rt.Options(samples_per_pixel=1,
                                            max_ray_bounces=2, engine="xla"))
         assert fb.shape == (8, 16, 4)
+
+
+class TestNegativeRadius:
+    """(p-c)/r normal semantics (common.rs:94-95): a negative radius flips
+    the normal — the RTiOW hollow-glass trick — and must behave identically
+    in the scan path and the fused kernel."""
+
+    def _scene(self, rin):
+        from raytracer_tpu import scene as scene_mod
+        mats = scene_mod.build_materials([
+            (scene_mod.DIFFUSE, (0.8, 0.8, 0.0), 0.0, 1.0),
+            (scene_mod.DIELECTRIC, (1.0, 1.0, 1.0), 0.0, 1.5),
+        ])
+        return scene_mod.build_scene(
+            [((0.0, -100.5, -1.0), 100.0, 0),
+             ((0.0, 0.0, -1.0), 0.5, 1),
+             ((0.0, 0.0, -1.0), rin, 1)], [], mats)
+
+    def test_hollow_glass_kernel_matches_scan(self):
+        from raytracer_tpu.camera import Camera
+        from raytracer_tpu import ops as ops_mod
+        cam = Camera.new_at((0.0, 0.0, 0.0), 16 / 9)
+        kw = dict(width=32, height=18, samples_per_pixel=2, depth=8, seed=1)
+        img_scan, _ = rt.render_linear(self._scene(-0.4), cam, **kw)
+        sph, tri, scl, tcl = ops_mod.scene_tables(self._scene(-0.4), True)
+        img_k, _ = wf.render_linear_pallas(
+            sph, tri, wf.camera_vec(cam), interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(img_scan), np.asarray(img_k),
+                                   atol=1e-4)
+        # the sign must actually matter: +0.4 inner sphere renders differently
+        img_pos, _ = rt.render_linear(self._scene(0.4), cam, **kw)
+        assert float(np.abs(np.asarray(img_scan)
+                            - np.asarray(img_pos)).max()) > 0.1
+
+    def test_matches_oracle_exact_engines(self):
+        # scan path vs the argmin formulation (which divides by r directly)
+        from raytracer_tpu import intersect
+        from raytracer_tpu.camera import Camera
+        scene = self._scene(-0.4)
+        cam = Camera.new_at((0.0, 0.0, 0.0), 16 / 9)
+        import jax.numpy as jnp
+        origin = jnp.zeros((64, 3), jnp.float32)
+        u = jnp.linspace(0.05, 0.95, 64)
+        o, d = cam.cast_rays(u, jnp.full((64,), 0.5))
+        pack = intersect.pack_scene(scene)
+        h1 = intersect.closest_hit_batch(o, d, scene, pack)
+        h2 = intersect.closest_hit_batch_argmin(o, d, scene, pack)
+        hit = np.asarray(h1.hit)
+        assert hit.any()
+        np.testing.assert_array_equal(hit, np.asarray(h2.hit))
+        np.testing.assert_allclose(np.asarray(h1.normal)[hit],
+                                   np.asarray(h2.normal)[hit], atol=1e-5)
