@@ -109,7 +109,9 @@ def bench_all():
         "value": int(segs) / dt, "unit": "rays/s",
         "vs_baseline": int(segs) / dt / PER_CHIP_TARGET})
 
-    # gradient pass (inverse-rendering step): forward+backward rays/s
+    # gradient pass (inverse-rendering step): forward+backward rays/s —
+    # engine="auto" rides the fused kernel forward AND the hand-derived
+    # backward kernel (ops/pallas/wavefront_bwd.py) on TPU
     world = rt.models.default_world()
     dscene, dcam = world.to_scene(), world.to_camera()
     W = H = 256
@@ -117,7 +119,8 @@ def bench_all():
     target, _ = rt.render_linear(dscene, dcam, width=W, height=H,
                                  samples_per_pixel=gspp, depth=gd, seed=0)
     loss_fn = gradmod.make_loss_fn(dscene, dcam, target, width=W, height=H,
-                                   samples_per_pixel=gspp, depth=gd, seed=1)
+                                   samples_per_pixel=gspp, depth=gd, seed=1,
+                                   engine="auto")
     params = gradmod.extract_params(
         dscene, ["sphere_center", "sphere_radius", "mat_color"])
     vg = jax.jit(jax.value_and_grad(loss_fn))

@@ -56,13 +56,16 @@ def make_loss_fn(scene: Scene, camera: Camera, target_linear, *,
         engine = ("pallas" if mesh is None and ops_mod.can_use_pallas(scene)
                   else "xla")
 
+    from ..ops import diff as diff_mod
+    bwd_engine = ("pallas" if engine == "pallas"
+                  and diff_mod.bwd_kernel_eligible(scene) else "xla")
+
     def loss(params):
         s = apply_params(scene, params)
         if mesh is None and engine == "pallas":
-            from ..ops import diff as diff_mod
             img = diff_mod.render_linear_diff(
                 s, camera, (width, height, samples_per_pixel, depth, seed,
-                            parity_plane_sign, interpret))
+                            parity_plane_sign, interpret, bwd_engine))
         elif mesh is None:
             img, _ = render_mod.render_linear(
                 s, camera, width=width, height=height,

@@ -101,13 +101,16 @@ def render_linear_diff(scene: Scene, camera: Camera, statics):
     """Differentiable mean linear radiance [H, W, 3], Pallas forward.
 
     statics: (width, height, samples_per_pixel, depth, seed,
-              parity_plane_sign, interpret).
+              parity_plane_sign, interpret) — optionally extended with an
+      8th entry bwd_engine ("xla" | "pallas"); "pallas" runs the
+      hand-derived backward kernel (wavefront_bwd.py — sphere-only scenes,
+      callers must check eligibility via ``bwd_kernel_eligible``).
     """
     return _pallas_forward(scene, camera, statics)
 
 
 def _pallas_forward(scene, camera, statics):
-    width, height, spp, depth, seed, pps, interpret = statics
+    width, height, spp, depth, seed, pps, interpret = statics[:7]
     sph = pack_spheres_jnp(scene)
     tri = pack_triangles_jnp(scene)
     cv = wf.camera_vec(camera)
@@ -117,13 +120,56 @@ def _pallas_forward(scene, camera, statics):
     return mean
 
 
+def bwd_kernel_eligible(scene: Scene) -> bool:
+    """True if the hand-derived backward kernel covers this (concrete)
+    scene: spheres only, small enough for the per-sphere grad reduction."""
+    import numpy as np
+    from .pallas import wavefront_bwd as wb
+    return (not bool(np.asarray(scene.tri_valid).any())
+            and scene.num_spheres <= wb.MAX_BWD_SPHERES)
+
+
 def _fwd(scene, camera, statics):
     return _pallas_forward(scene, camera, statics), (scene, camera)
 
 
+def _zeros_ct(x):
+    import numpy as np
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
 def _bwd(statics, residuals, g):
-    width, height, spp, depth, seed, pps, _interpret = statics
+    width, height, spp, depth, seed, pps, interpret = statics[:7]
+    bwd_engine = statics[7] if len(statics) > 7 else "xla"
     scene, camera = residuals
+
+    if bwd_engine == "pallas":
+        from .pallas import wavefront_bwd as wb
+        import dataclasses
+        sph = pack_spheres_jnp(scene)
+        dsph, dcam = wb.render_grad_pallas(
+            sph, g, wf.camera_vec(camera), width=width, height=height,
+            samples_per_pixel=spp, depth=depth, seed=seed,
+            interpret=interpret)
+        M = scene.materials.count
+        mat = scene.sphere_mat
+        d_color = jnp.zeros((M, 3), jnp.float32).at[mat].add(dsph[4:7].T)
+        d_fuzz = jnp.zeros((M,), jnp.float32).at[mat].add(dsph[7])
+        d_ir = jnp.zeros((M,), jnp.float32).at[mat].add(dsph[8])
+        scene_ct = jax.tree.map(_zeros_ct, scene)
+        scene_ct = dataclasses.replace(
+            scene_ct,
+            sphere_center=dsph[0:3].T,
+            sphere_radius=dsph[3],
+            materials=dataclasses.replace(
+                scene_ct.materials, color=d_color, fuzz=d_fuzz, ir=d_ir))
+        cam_ct = jax.tree.map(_zeros_ct, camera)
+        cam_ct = dataclasses.replace(
+            cam_ct, origin=dcam[0:3], lower_left_corner=dcam[3:6],
+            horizontal=dcam[6:9], vertical=dcam[9:12])
+        return scene_ct, cam_ct
 
     def xla_render(s, c):
         img, _segs = render_mod.render_linear(

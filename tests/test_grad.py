@@ -227,3 +227,64 @@ class TestDiffPallasPath:
         for _ in range(4):
             p, state, l1 = step(p, state)
         assert float(l1) < float(l0)
+
+
+class TestBackwardKernel:
+    """Hand-derived backward Pallas kernel (ops/pallas/wavefront_bwd.py):
+    the full path-trace adjoint must match XLA reverse-mode AD on every
+    parameter class (interior gradients; both engines share the follow-the-
+    selected-branch semantics)."""
+
+    def test_grads_match_xla_ad_all_materials(self):
+        # the default world covers diffuse/metal/dielectric + ground sphere
+        world = rt.models.default_world()
+        scene, cam = world.to_scene(), world.to_camera()
+        W, H = 32, 24
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=4, seed=3)
+        params = gradmod.extract_params(
+            scene, ["sphere_center", "sphere_radius", "mat_color",
+                    "mat_fuzz", "mat_ir"])
+        params["sphere_center"] = params["sphere_center"] + 0.02
+        loss_x = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                      samples_per_pixel=2, depth=4, seed=3)
+        loss_k = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                      samples_per_pixel=2, depth=4, seed=3,
+                                      engine="pallas", interpret=True)
+        from raytracer_tpu.ops import diff as diff_mod
+        assert diff_mod.bwd_kernel_eligible(scene)
+        v1, g1 = jax.value_and_grad(loss_x)(params)
+        v2, g2 = jax.jit(jax.value_and_grad(loss_k))(params)
+        assert abs(float(v1) - float(v2)) < 1e-5
+        for k in params:
+            a, b = np.asarray(g1[k]), np.asarray(g2[k])
+            scale = max(np.abs(a).max(), 1e-8)
+            assert np.abs(a - b).max() <= 5e-3 * scale + 1e-7, k
+
+    def test_camera_cotangent(self):
+        # differentiate THROUGH the camera (origin) — covers the ray-gen
+        # adjoint and the cam_vec mapping
+        world = rt.models.sphere_and_ground()
+        scene, cam = world.to_scene(), world.to_camera()
+        W, H = 16, 12
+        statics = (W, H, 2, 3, 7, True, True, "pallas")
+        statics_x = (W, H, 2, 3, 7, True, True, "xla")
+        from raytracer_tpu.ops import diff as diff_mod
+
+        def loss(c, st):
+            img = diff_mod.render_linear_diff(scene, c, st)
+            return jnp.sum(img * img)
+
+        g_k = jax.grad(lambda c: loss(c, statics))(cam)
+        g_x = jax.grad(lambda c: loss(c, statics_x))(cam)
+        for f in ("origin", "lower_left_corner", "horizontal", "vertical"):
+            a = np.asarray(getattr(g_x, f))
+            b = np.asarray(getattr(g_k, f))
+            scale = max(np.abs(a).max(), 1e-8)
+            assert np.abs(a - b).max() <= 5e-3 * scale + 1e-7, f
+
+    def test_ineligible_scene_falls_back(self):
+        # triangle scene -> bwd kernel ineligible, XLA backward used
+        scene, cam = rt.models.mesh_scene(subdivisions=0)
+        from raytracer_tpu.ops import diff as diff_mod
+        assert not diff_mod.bwd_kernel_eligible(scene)
