@@ -100,8 +100,11 @@ def main(argv=None) -> int:
                               samples, depth)
         segments = None
     else:
+        # main.rs:51 wires the scanline logger to stderr in the CLI
+        from .utils.profiling import ScanlineLogger
         opts = Options(samples_per_pixel=samples, max_ray_bounces=depth,
-                       seed=int(extras.get("seed", Options().seed)))
+                       seed=int(extras.get("seed", Options().seed)),
+                       logger=ScanlineLogger())
         fb, segments = ray_trace(scene, camera, image_width, image_height, opts)
     dt = time.perf_counter() - t0
 

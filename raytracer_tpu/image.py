@@ -11,7 +11,6 @@ produces byte-identical P3 output to the reference (same header, same
 
 from __future__ import annotations
 
-import io
 import sys
 from typing import Optional
 
@@ -25,18 +24,30 @@ def new_framebuffer(width: int, height: int) -> np.ndarray:
 
 def write_ppm(framebuffer: np.ndarray, path: Optional[str] = None) -> None:
     """write_image (image.rs:59-81): ASCII P3, alpha dropped, one triplet per
-    line.  ``path=None`` writes to stdout like the reference's ``None`` arm."""
+    line.  ``path=None`` writes to stdout like the reference's ``None`` arm.
+
+    File output goes through the native C writer when available (byte-equal
+    by construction — cross-checked in tests/test_native.py); the Python
+    fallback formats with C-level numpy string ops, not a per-pixel loop."""
     fb = np.asarray(framebuffer)
     assert fb.ndim == 3 and fb.shape[2] in (3, 4) and fb.dtype == np.uint8
     height, width = fb.shape[:2]
-    buf = io.StringIO()
-    buf.write(f"P3\n{width} {height}\n255\n")
+    if path is not None:
+        try:
+            from . import native
+            if fb.shape[2] == 3:
+                a = np.full((height, width, 1), 255, np.uint8)
+                fb = np.concatenate([fb, a], axis=-1)
+            native.write_ppm_native(fb, path)
+            return
+        except Exception:
+            pass  # no compiler / no .so: fall through to pure Python
     flat = fb[:, :, :3].reshape(-1, 3)
-    # vectorized triplet formatting (fast path for large images)
-    lines = "\n".join(f"{r} {g} {b}" for r, g, b in flat.tolist())
-    buf.write(lines)
-    buf.write("\n")
-    data = buf.getvalue()
+    dec = np.char.mod("%d", flat)  # elementwise decimal, vectorized
+    rows = np.char.add(np.char.add(
+        np.char.add(dec[:, 0], " "), np.char.add(dec[:, 1], " ")), dec[:, 2])
+    data = (f"P3\n{width} {height}\n255\n"
+            + "\n".join(rows.tolist()) + "\n")
     if path is None:
         sys.stdout.write(data)
     else:

@@ -98,13 +98,25 @@ def scene_tables(scene: Scene, parity_plane_sign: bool):
 def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
                        height: int, samples_per_pixel: int, depth: int,
                        seed: int = 0, parity_plane_sign: bool = True,
-                       engine: str = "auto"):
+                       engine: str = "auto", progress=None):
     """Mean linear radiance [H, W, 3] + segment count, fastest engine.
 
     engine: "auto" | "pallas" | "xla".
+
+    progress: optional ``progress(rows_done, height)`` callback — the
+    reference's scanline logger hook (common.rs:328-330).  When set, the
+    image is rendered in row bands with the callback fired per band; every
+    pixel depends only on its global (row, col), so the banded image is
+    bitwise identical to the unbanded one.
     """
     if engine == "auto":
         engine = "pallas" if can_use_pallas(scene) else "xla"
+    if progress is not None and height > 1:
+        return _render_banded(scene, camera, width=width, height=height,
+                              samples_per_pixel=samples_per_pixel,
+                              depth=depth, seed=seed,
+                              parity_plane_sign=parity_plane_sign,
+                              engine=engine, progress=progress)
     if engine == "pallas":
         from .pallas import wavefront as wf
         sph, tri, sph_cl, tri_cl = scene_tables(scene, parity_plane_sign)
@@ -119,3 +131,44 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
         scene, camera, width=width, height=height,
         samples_per_pixel=samples_per_pixel, depth=depth,
         parity_plane_sign=parity_plane_sign, seed=seed)
+
+
+def _render_banded(scene, camera, *, width, height, samples_per_pixel,
+                   depth, seed, parity_plane_sign, engine, progress):
+    """Row-banded render for progress reporting (max 16 equal bands; the
+    tail band reuses the same compiled shape via dead-lane padding)."""
+    band = max(1, -(-height // 16))
+    if engine == "pallas":
+        from .pallas import wavefront as wf
+        sph, tri, sph_cl, tri_cl = scene_tables(scene, parity_plane_sign)
+        cv = wf.camera_vec(camera)
+    else:
+        rows_full = jnp.repeat(jnp.arange(band, dtype=jnp.int32), width)
+        cols_full = jnp.tile(jnp.arange(width, dtype=jnp.int32), band)
+        seed_word = jnp.uint32(seed) * render_mod._SEED_MIX
+    pieces = []
+    segments = 0
+    for r0 in range(0, height, band):
+        rows_here = min(band, height - r0)
+        if engine == "pallas":
+            # shard_rows stays `band` for every piece (one compile); rows
+            # past the image are dead lanes inside the kernel
+            mean, segs = wf.render_linear_pallas(
+                sph, tri, cv, width=width, height=height,
+                samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
+                parity_plane_sign=parity_plane_sign, sph_clusters=sph_cl,
+                tri_clusters=tri_cl, shard_rows=band, row_offset=r0)
+            mean = mean[:rows_here]
+        else:
+            rows = rows_full + r0
+            active = rows < height
+            img_sum, segs = render_mod.accumulate_samples(
+                scene, camera, jnp.minimum(rows, height - 1), cols_full,
+                width, height, samples_per_pixel, depth, parity_plane_sign,
+                seed_word, active=active)
+            mean = (img_sum * (1.0 / samples_per_pixel)).reshape(
+                band, width, 3)[:rows_here]
+        pieces.append(mean)
+        segments += int(segs)
+        progress(r0 + rows_here, height)
+    return jnp.concatenate(pieces, axis=0), segments

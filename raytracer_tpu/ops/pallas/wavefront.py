@@ -283,14 +283,20 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
         blk = pl.program_id(0)
         ty = blk // ntx
         tx = blk - ty * ntx
-        # seed_ref[1] is the global row offset of this kernel invocation's
-        # row band — the device's shard origin under shard_map (identical
-        # pixel ids/RNG streams to a single-device full-image render)
+        # seed_ref[1] is the global row offset and seed_ref[2] the row
+        # STRIDE of this invocation's row set — a device's shard under
+        # shard_map owns global rows offset, offset+stride, offset+2*stride,
+        # ... (stride = n_devices interleaves rows round-robin across the
+        # mesh, which load-balances sky-heavy vs bounce-heavy regions; see
+        # parallel/sharding.py).  Pixel ids/RNG streams depend only on the
+        # global (row, col), so any (offset, stride) tiling is bitwise
+        # identical to the matching rows of a single-device render.
         row_offset = seed_ref[1].astype(jnp.int32)
+        row_stride = seed_ref[2].astype(jnp.int32)
         lane_row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         band_row = ty * R + lane_row        # row within this shard's band
-        prow = row_offset + band_row
+        prow = row_offset + band_row * row_stride
         pcol = tx * LANES + lane_col
         # lanes outside the image OR outside this shard's row band are dead
         # from the start (band overlap would double-trace and double-count)
@@ -683,7 +689,8 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
                          samples_per_pixel, depth, seed=0, block_rows=32,
                          parity_plane_sign=True, count_all_lanes=False,
                          interpret=False, sph_clusters=None,
-                         tri_clusters=None, shard_rows=None, row_offset=0):
+                         tri_clusters=None, shard_rows=None, row_offset=0,
+                         row_stride=1):
     """Mean linear radiance [rows, W, 3] + segment count, fused kernel.
 
     sph_table: (SPH_ROWS, S) from pack_spheres; tri_table: (TRI_ROWS, T)
@@ -692,12 +699,15 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
     ranges (2, C) i32) from cluster_spheres/cluster_triangles — the TABLES
     MUST then be packed with the matching perm; enables block-level culling.
 
-    shard_rows/row_offset render a ROW BAND of the full image: ``shard_rows``
-    (static; default = height) rows starting at global row ``row_offset``
-    (traced, so a shard_map body can pass ``axis_index * rows_per_shard``).
-    Pixel ids — and therefore RNG streams and every per-lane float — depend
-    only on global (row, col), so a banded render is bitwise identical to
-    the matching rows of a whole-image render.
+    shard_rows/row_offset/row_stride render a ROW SUBSET of the full image:
+    ``shard_rows`` (static; default = height) rows at global rows
+    ``row_offset + k * row_stride`` (both traced, so a shard_map body can
+    pass ``axis_index`` / the device count).  Pixel ids — and therefore RNG
+    streams and every per-lane float — depend only on global (row, col), so
+    any banded or interleaved render is bitwise identical to the matching
+    rows of a whole-image render.  stride = n_devices round-robins rows
+    across the mesh, load-balancing sky-heavy vs bounce-heavy image regions
+    (measured 0.68 -> >0.97 balance on the default world).
 
     block_rows=32 (a 32x128-pixel tile) measured fastest across scene
     sizes on v5e: tiles small enough that sky-heavy blocks retire bounces
@@ -744,7 +754,8 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
 
     seed_arr = jnp.stack([
         jnp.uint32(seed) * _SEED_MIX,
-        jnp.asarray(row_offset, jnp.int32).astype(jnp.uint32)])
+        jnp.asarray(row_offset, jnp.int32).astype(jnp.uint32),
+        jnp.asarray(row_stride, jnp.int32).astype(jnp.uint32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,

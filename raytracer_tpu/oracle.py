@@ -351,9 +351,18 @@ def ray_trace(world: OWorld, camera: OCamera, width: int, height: int,
             b = f32(np.sqrt(acc[2] * inv_spp)) * f32(255.999)
             a = acc_a * inv_spp * f32(255.999)
             fb[height - row - 1, column] = (
-                np.uint8(min(max(int(r), 0), 255)),
-                np.uint8(min(max(int(g), 0), 255)),
-                np.uint8(min(max(int(b), 0), 255)),
-                np.uint8(min(max(int(a), 0), 255)),
-            )
+                _as_u8(r), _as_u8(g), _as_u8(b), _as_u8(a))
     return fb
+
+
+def _as_u8(v) -> np.uint8:
+    """Rust's saturating ``as u8`` float cast (common.rs:352-355): truncate
+    toward zero, clamp to [0, 255], and NaN -> 0 (a NaN color reaches here
+    when scene values like ir=0 poison the math; NaN *t* values never hit
+    the reference's panicking comparator because the range filter at
+    common.rs:90-91 is false for NaN)."""
+    if not v > 0.0:  # False for NaN
+        return np.uint8(0)
+    if v > 255.0:
+        return np.uint8(255)
+    return np.uint8(int(v))

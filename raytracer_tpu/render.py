@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import numpy as np
@@ -61,6 +61,12 @@ class Options:
     ``positive_is_up`` is stored but never read by the reference — the
     vertical flip at common.rs:351 is unconditional — and is kept here for
     API parity with the same non-behavior.
+
+    ``logger`` is the reference's progress hook (common.rs:292,328-330):
+    a callable ``logger(rows_done, height)`` invoked as row bands complete.
+    With a logger set the render is split into row bands — per-pixel results
+    depend only on global (row, col), so output is bitwise identical to an
+    unbanded render (see ops.render_linear_fast).
     """
     samples_per_pixel: int = 32     # default, common.rs:311
     max_ray_bounces: int = 8        # default, common.rs:312
@@ -68,6 +74,7 @@ class Options:
     parity_plane_sign: bool = True  # reproduce common.rs:140-141 (see intersect)
     seed: int = rng.DEFAULT_SEED
     engine: str = "auto"            # "auto" | "pallas" | "xla"
+    logger: Optional[Callable[[int, int], None]] = None
 
 
 def _sky_color(direction):
@@ -216,7 +223,9 @@ def finalize_image(mean_linear, flip: bool = True) -> jax.Array:
     (common.rs:343-356).  Input [H, W, 3] mean radiance in render row order;
     output [H, W, 4] u8."""
     rgb = jnp.sqrt(jnp.maximum(mean_linear, 0.0)) * jnp.float32(255.999)
-    rgb = jnp.clip(rgb, 0.0, 255.0).astype(jnp.uint8)
+    # Rust's saturating `as u8` cast: clamp AND NaN -> 0 (common.rs:352-355)
+    rgb = jnp.where(jnp.isnan(rgb), 0.0, jnp.clip(rgb, 0.0, 255.0))
+    rgb = rgb.astype(jnp.uint8)
     a = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
     img = jnp.concatenate([rgb, a], axis=-1)
     if flip:
@@ -236,7 +245,8 @@ def ray_trace(scene: Scene, camera: Camera, width: int, height: int,
         samples_per_pixel=options.samples_per_pixel,
         depth=options.max_ray_bounces,
         parity_plane_sign=options.parity_plane_sign,
-        seed=options.seed, engine=options.engine)
+        seed=options.seed, engine=options.engine,
+        progress=options.logger)
     img = finalize_image(mean)
     return np.asarray(img), int(segments)
 
@@ -346,7 +356,9 @@ def ray_trace_parity(scene: Scene, camera: Camera, width: int, height: int,
     for s in range(spp):
         acc = acc + colors[:, :, s, :]
     rgb = np.sqrt(acc * inv) * np.float32(255.999)
-    rgb = np.clip(rgb, 0.0, 255.0).astype(np.uint8)
+    # Rust's saturating `as u8` cast: clamp AND NaN -> 0 (common.rs:352-355)
+    rgb = np.where(np.isnan(rgb), 0.0, np.clip(rgb, 0.0, 255.0))
+    rgb = rgb.astype(np.uint8)
     a = np.full((h, w, 1), 255, np.uint8)
     img = np.concatenate([rgb, a], axis=-1)
     return img[::-1]

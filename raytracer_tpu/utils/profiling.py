@@ -75,13 +75,15 @@ def trace(log_dir: str = "/tmp/raytracer_tpu_trace"):
 
 
 class ScanlineLogger:
-    """The reference's progress logger shape (common.rs:328-330) adapted to
-    wavefront rendering: reports per-sample progress instead of scanlines."""
+    """The reference's progress logger (common.rs:328-330): writes
+    ``\\rScanline: N`` as row bands complete.  Assign to ``Options.logger``;
+    ``ray_trace`` then renders in row bands (bitwise identical output) and
+    calls ``logger(rows_done, height)`` per band."""
 
     def __init__(self, stream=None):
         import sys
         self.stream = stream if stream is not None else sys.stderr
 
-    def __call__(self, done: int, total: int) -> None:
-        self.stream.write(f"\rSample: {done}/{total}   ")
+    def __call__(self, rows_done: int, height: int) -> None:
+        self.stream.write(f"\rScanline: {rows_done}")
         self.stream.flush()

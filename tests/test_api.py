@@ -136,3 +136,30 @@ class TestViewer:
         viewer.run_viewer(width=16, samples=1, depth=1)
         out = capsys.readouterr().out
         assert "▀" in out
+
+
+class TestProgressLogger:
+    """Options.logger — the reference's scanline progress hook
+    (common.rs:292,328-330), wired through banded rendering."""
+
+    def test_banded_render_bitwise_equal_and_monotonic(self, default_world):
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        calls = []
+        opts = rt.Options(samples_per_pixel=2, max_ray_bounces=3)
+        ref, seg_ref = rt.ray_trace(scene, cam, 24, 19, opts)
+        opts_logged = rt.Options(samples_per_pixel=2, max_ray_bounces=3,
+                                 logger=lambda done, h: calls.append((done, h)))
+        got, seg = rt.ray_trace(scene, cam, 24, 19, opts_logged)
+        assert np.array_equal(ref, got)
+        assert int(seg) == int(seg_ref)
+        assert calls and calls[-1] == (19, 19)
+        dones = [d for d, _ in calls]
+        assert dones == sorted(dones) and len(set(dones)) == len(dones)
+
+    def test_scanline_logger_writes(self):
+        import io
+        from raytracer_tpu.utils.profiling import ScanlineLogger
+        buf = io.StringIO()
+        ScanlineLogger(buf)(7, 40)
+        assert buf.getvalue() == "\rScanline: 7"
