@@ -50,6 +50,25 @@ def can_use_pallas(scene: Scene) -> bool:
             and pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES)
 
 
+def can_use_pallas_stream(scene: Scene, parity_plane_sign: bool) -> bool:
+    """The HBM-streamed kernel (wavefront_stream.py) lifts the SMEM cap on
+    TRIANGLES: only the sphere table + the two-level bound tree must fit
+    scalar memory.  Requires the corrected plane equation — streaming culls
+    with vertex-derived bounds, unsound under the reference's wrong-sign
+    formula (common.rs:140-141)."""
+    if not backend_is_tpu() or parity_plane_sign:
+        return False
+    from .pallas import wavefront as wf
+    from .pallas import wavefront_stream as ws
+    n_tris = int(np.sum(np.asarray(scene.tri_valid)))
+    n_leaves = -(-max(n_tris, 1) // ws.LEAF)
+    n_tops = -(-n_leaves // 8)
+    smem = (4 * scene.num_spheres * wf.SPH_ROWS      # sphere table
+            + 4 * ws.LEAF * wf.TRI_ROWS              # DMA'd leaf scratch
+            + 4 * n_leaves * 5 + 4 * n_tops * 6)     # bounds + ranges
+    return smem <= PALLAS_SMEM_BUDGET_BYTES
+
+
 # Host-side scene packing is O(S + T log T) numpy work per call; interactive
 # camera moves and bench loops render the SAME scene object every frame, so
 # the packed tables are memoized on scene identity (lib.rs:60-63 interactive
@@ -95,13 +114,41 @@ def scene_tables(scene: Scene, parity_plane_sign: bool):
     return tables
 
 
+def scene_stream_tables(scene: Scene):
+    """Packed tables for the HBM-streamed kernel, cached on scene identity:
+    (sph_table, sph_clusters, tri_hbm, leaf_bounds, leaf_counts,
+    top_bounds, top_ranges)."""
+    global pack_events
+    key = (id(scene), "stream")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0]() is scene:
+        return hit[1]
+    from .pallas import wavefront as wf
+    from .pallas import wavefront_stream as ws
+    pack_events += 1
+    sph_perm = None
+    sph_cl = None
+    if int(np.sum(np.asarray(scene.sphere_valid))) >= CLUSTER_MIN_SPHERES:
+        sph_perm, b, rg = wf.cluster_spheres(scene)
+        sph_cl = (jnp.asarray(b), jnp.asarray(rg))
+    sph = jnp.asarray(wf.pack_spheres(scene, perm=sph_perm))
+    stream = tuple(jnp.asarray(t)
+                   for t in ws.build_tri_stream_tables(scene))
+    tables = (sph, sph_cl) + stream
+    _TABLE_CACHE[key] = (weakref.ref(scene), tables)
+    return tables
+
+
 def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
                        height: int, samples_per_pixel: int, depth: int,
                        seed: int = 0, parity_plane_sign: bool = True,
                        engine: str = "auto", progress=None):
     """Mean linear radiance [H, W, 3] + segment count, fastest engine.
 
-    engine: "auto" | "pallas" | "xla".
+    engine: "auto" | "pallas" | "pallas_stream" | "xla".  "auto" picks the
+    SMEM-resident megakernel when the scene fits scalar memory, the
+    HBM-streamed kernel for big triangle scenes (corrected plane sign
+    only), else the XLA wavefront path.
 
     progress: optional ``progress(rows_done, height)`` callback — the
     reference's scanline logger hook (common.rs:328-330).  When set, the
@@ -110,7 +157,12 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
     bitwise identical to the unbanded one.
     """
     if engine == "auto":
-        engine = "pallas" if can_use_pallas(scene) else "xla"
+        if can_use_pallas(scene):
+            engine = "pallas"
+        elif can_use_pallas_stream(scene, parity_plane_sign):
+            engine = "pallas_stream"
+        else:
+            engine = "xla"
     if progress is not None and height > 1:
         return _render_banded(scene, camera, width=width, height=height,
                               samples_per_pixel=samples_per_pixel,
@@ -127,6 +179,20 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
             parity_plane_sign=parity_plane_sign,
             sph_clusters=sph_cl, tri_clusters=tri_cl)
         return mean, segs
+    if engine == "pallas_stream":
+        if parity_plane_sign:
+            raise ValueError("pallas_stream requires parity_plane_sign="
+                             "False (bound culling soundness)")
+        from .pallas import wavefront as wf
+        from .pallas import wavefront_stream as ws
+        (sph, sph_cl, tri_hbm, leafb, leafn,
+         topb, topr) = scene_stream_tables(scene)
+        cv = wf.camera_vec(camera)
+        return ws.render_linear_pallas_stream(
+            sph, tri_hbm, leafb, leafn, topb, topr, cv,
+            width=width, height=height,
+            samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
+            sph_clusters=sph_cl)
     return render_mod.render_linear(
         scene, camera, width=width, height=height,
         samples_per_pixel=samples_per_pixel, depth=depth,
@@ -141,6 +207,12 @@ def _render_banded(scene, camera, *, width, height, samples_per_pixel,
     if engine == "pallas":
         from .pallas import wavefront as wf
         sph, tri, sph_cl, tri_cl = scene_tables(scene, parity_plane_sign)
+        cv = wf.camera_vec(camera)
+    elif engine == "pallas_stream":
+        from .pallas import wavefront as wf
+        from .pallas import wavefront_stream as ws
+        (sph, sph_cl, tri_hbm, leafb, leafn,
+         topb, topr) = scene_stream_tables(scene)
         cv = wf.camera_vec(camera)
     else:
         rows_full = jnp.repeat(jnp.arange(band, dtype=jnp.int32), width)
@@ -158,6 +230,13 @@ def _render_banded(scene, camera, *, width, height, samples_per_pixel,
                 samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
                 parity_plane_sign=parity_plane_sign, sph_clusters=sph_cl,
                 tri_clusters=tri_cl, shard_rows=band, row_offset=r0)
+            mean = mean[:rows_here]
+        elif engine == "pallas_stream":
+            mean, segs = ws.render_linear_pallas_stream(
+                sph, tri_hbm, leafb, leafn, topb, topr, cv,
+                width=width, height=height,
+                samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
+                sph_clusters=sph_cl, shard_rows=band, row_offset=r0)
             mean = mean[:rows_here]
         else:
             rows = rows_full + r0

@@ -263,6 +263,319 @@ def cluster_triangles(scene: Scene, leaf_target: int = 64):
     return perm, bounds, ranges
 
 
+# ---------------------------------------------------------------------------
+# Shared kernel machinery — used by BOTH the SMEM-resident kernel below and
+# the HBM-streamed big-scene kernel (wavefront_stream.py) so the physics
+# (reference semantics) has a single source of truth.
+# ---------------------------------------------------------------------------
+
+def _sphere_loop(sph_ref, sphc_b_ref, sphc_r_ref, n_spheres, n_sph_clusters,
+                 ox, oy, oz, dx, dy, dz, alive, hs0):
+    """Closest-hit over SMEM-resident spheres (common.rs:60-98), optionally
+    with cluster culling.  hs0 = (t_best, nx, ny, nz, kind, ar, ag, ab, fz,
+    irx); nx/ny/nz carry the WINNING CENTER until _sphere_normals."""
+
+    def sph_body(si, hs):
+        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
+        cx = sph_ref[_SPH_CX, si]
+        cy = sph_ref[_SPH_CY, si]
+        cz = sph_ref[_SPH_CZ, si]
+        r2 = sph_ref[_SPH_R2, si]
+        ocx = ox - cx
+        ocy = oy - cy
+        ocz = oz - cz
+        half_b = ocx * dx + ocy * dy + ocz * dz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = half_b * half_b - cc
+        ok = (disc >= 0.0) & (r2 > 0.0)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        root1 = -half_b - sq
+        root2 = -half_b + sq
+        t = jnp.where(root1 > T_MIN, root1,
+                      jnp.where(root2 > T_MIN, root2, BIG))
+        t = jnp.where(ok, t, BIG)
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        # sphere normal at p: ((p - c)/r).normalize(); defer to
+        # after the loop needing (cx, cy, cz, rinv) — store those
+        nx = jnp.where(better, cx, nx)
+        ny = jnp.where(better, cy, ny)
+        nz = jnp.where(better, cz, nz)
+        kind = jnp.where(better, sph_ref[_SPH_KIND, si], kind)
+        ar = jnp.where(better, sph_ref[_SPH_AR, si], ar)
+        ag = jnp.where(better, sph_ref[_SPH_AG, si], ag)
+        ab = jnp.where(better, sph_ref[_SPH_AB, si], ab)
+        fz = jnp.where(better, sph_ref[_SPH_FUZZ, si], fz)
+        irx = jnp.where(better, sph_ref[_SPH_IR, si], irx)
+        return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
+
+    if n_sph_clusters > 0:
+        # block-level culling: one bounding-sphere test over the
+        # whole wavefront per cluster; when no live lane can beat
+        # its current closest hit, the member loop runs with a
+        # zero trip count (traced bounds, no cond needed)
+        def sph_cluster_body(ci, hs):
+            t_best = hs[0]
+            possible = _bound_test(sphc_b_ref, ci, ox, oy, oz, dx, dy, dz,
+                                   t_best, alive)
+            any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
+            s0 = jnp.where(any_p > 0.0, sphc_r_ref[0, ci], 0)
+            s1 = jnp.where(any_p > 0.0, sphc_r_ref[1, ci], 0)
+            return jax.lax.fori_loop(s0, s1, sph_body, hs)
+
+        return jax.lax.fori_loop(0, n_sph_clusters, sph_cluster_body, hs0)
+    return jax.lax.fori_loop(0, n_spheres, sph_body, hs0)
+
+
+def _bound_test(b_ref, ci, ox, oy, oz, dx, dy, dz, t_best, alive):
+    """Conservative ray x bounding-sphere overlap test: could any live lane
+    hit something inside bound ``ci`` closer than its current t_best?"""
+    bcx = b_ref[0, ci]
+    bcy = b_ref[1, ci]
+    bcz = b_ref[2, ci]
+    br2 = b_ref[3, ci]
+    ocx = ox - bcx
+    ocy = oy - bcy
+    ocz = oz - bcz
+    hb = ocx * dx + ocy * dy + ocz * dz
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - br2
+    disc = hb * hb - cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    entry = jnp.maximum(-hb - sq, 0.0)
+    return (disc >= 0.0) & (-hb + sq > T_MIN) & (entry <= t_best) & alive
+
+
+def _sphere_normals(ox, oy, oz, dx, dy, dz, hs):
+    """Recover the sphere hit normal from the stored winning center:
+    normalize(p - c), flipped for negative radii ((p-c)/r, common.rs:94-95;
+    the sign rides the kind encoding, kind+4 <=> r<0)."""
+    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
+    hpx = ox + t_best * dx
+    hpy = oy + t_best * dy
+    hpz = oz + t_best * dz
+    snx = hpx - nx
+    sny = hpy - ny
+    snz = hpz - nz
+    slen = jnp.sqrt(snx * snx + sny * sny + snz * snz)
+    slen = jnp.where(slen == 0.0, 1.0, slen)
+    neg_r = kind >= 3.5
+    slen = jnp.where(neg_r, -slen, slen)
+    kind = jnp.where(neg_r, kind - 4.0, kind)
+    nx = snx / slen
+    ny = sny / slen
+    nz = snz / slen
+    return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx), (hpx, hpy, hpz)
+
+
+def _make_tri_body(read, parity_plane_sign, ox, oy, oz, dx, dy, dz):
+    """Triangle closest-hit fori_loop body (common.rs:124-166 via edge
+    constants).  ``read(row, i)`` reads one scalar of triangle ``i`` — from
+    the SMEM-resident table (SMEM kernel) or a DMA'd leaf buffer (streamed
+    kernel)."""
+
+    def tri_body(ti, hs):
+        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
+        tnx = read(_TRI_NX, ti)
+        tny = read(_TRI_NY, ti)
+        tnz = read(_TRI_NZ, ti)
+        td = read(_TRI_D, ti)
+        nd = tnx * dx + tny * dy + tnz * dz
+        no = tnx * ox + tny * oy + tnz * oz
+        par = jnp.abs(nd) < 1e-8
+        nd_safe = jnp.where(par, 1.0, nd)
+        if parity_plane_sign:
+            t = (no + td) / nd_safe
+        else:
+            t = (td - no) / nd_safe
+        ok = (~par) & (t >= T_MIN)
+        g0x = read(_TRI_G0X, ti)
+        g0y = read(_TRI_G0Y, ti)
+        g0z = read(_TRI_G0Z, ti)
+        e0 = (ox * g0x + oy * g0y + oz * g0z
+              + t * (dx * g0x + dy * g0y + dz * g0z)
+              - read(_TRI_W0, ti))
+        ok &= e0 >= 0.0
+        g1x = read(_TRI_G1X, ti)
+        g1y = read(_TRI_G1Y, ti)
+        g1z = read(_TRI_G1Z, ti)
+        e1 = (ox * g1x + oy * g1y + oz * g1z
+              + t * (dx * g1x + dy * g1y + dz * g1z)
+              - read(_TRI_W1, ti))
+        ok &= e1 >= 0.0
+        g2x = read(_TRI_G2X, ti)
+        g2y = read(_TRI_G2Y, ti)
+        g2z = read(_TRI_G2Z, ti)
+        e2 = (ox * g2x + oy * g2y + oz * g2z
+              + t * (dx * g2x + dy * g2y + dz * g2z)
+              - read(_TRI_W2, ti))
+        ok &= e2 >= 0.0
+        # triangle wins ties (<=): common.rs:142 vs World::hit
+        better = ok & (t <= t_best)
+        t_best = jnp.where(better, t, t_best)
+        nx = jnp.where(better, read(_TRI_UNX, ti), nx)
+        ny = jnp.where(better, read(_TRI_UNY, ti), ny)
+        nz = jnp.where(better, read(_TRI_UNZ, ti), nz)
+        kind = jnp.where(better, read(_TRI_KIND, ti), kind)
+        ar = jnp.where(better, read(_TRI_AR, ti), ar)
+        ag = jnp.where(better, read(_TRI_AG, ti), ag)
+        ab = jnp.where(better, read(_TRI_AB, ti), ab)
+        fz = jnp.where(better, 0.0, fz)
+        irx = jnp.where(better, 1.0, irx)
+        return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
+
+    return tri_body
+
+
+def _scatter_bookkeep(pix_u, s_u, b, ox, oy, oz, dx, dy, dz, hpx, hpy, hpz,
+                      hs, tpr, tpg, tpb, rr, rg, rb, alive, seg):
+    """RNG draw + material scatter (materials.rs:30-102) + bounce
+    bookkeeping (common.rs:263-285).  Returns the next bounce's carry
+    (minus the incremented bounce counter, added by the caller)."""
+    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
+    hit = t_best < BIG
+    hpx = jnp.where(hit, hpx, ox)
+    hpy = jnp.where(hit, hpy, oy)
+    hpz = jnp.where(hit, hpz, oz)
+
+    bx, by, bz = _pcg3d(pix_u, s_u, jnp.uint32(1 + b))
+    two = jnp.float32(2.0)
+    onef = jnp.float32(1.0)
+    rx = _u01(bx) * two - onef
+    ry = _u01(by) * two - onef
+    rz = _u01(bz) * two - onef
+    rl = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    rx, ry, rz = rx / rl, ry / rl, rz / rl   # unit cube sample
+
+    # diffuse: normal + rand (degenerate -> normal)
+    sdx = nx + rx
+    sdy = ny + ry
+    sdz = nz + rz
+    deg = ((jnp.abs(sdx) < 1e-8) & (jnp.abs(sdy) < 1e-8)
+           & (jnp.abs(sdz) < 1e-8))
+    sl = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
+    sl = jnp.where(sl == 0.0, 1.0, sl)
+    difx = jnp.where(deg, nx, sdx / sl)
+    dify = jnp.where(deg, ny, sdy / sl)
+    difz = jnp.where(deg, nz, sdz / sl)
+
+    # metal: reflect + fuzz*rand; absorb below surface
+    dn = dx * nx + dy * ny + dz * nz
+    rfx = dx - two * dn * nx
+    rfy = dy - two * dn * ny
+    rfz = dz - two * dn * nz
+    mx = rfx + fz * rx
+    my = rfy + fz * ry
+    mz = rfz + fz * rz
+    met_keep = (mx * nx + my * ny + mz * nz) >= 0.0
+    ml = jnp.sqrt(mx * mx + my * my + mz * mz)
+    ml = jnp.where(ml == 0.0, 1.0, ml)
+    metx = mx / ml
+    mety = my / ml
+    metz = mz / ml
+
+    # dielectric: reference's inverted front-face rule
+    inside = dn >= 0.0
+    sgn = jnp.where(inside, -onef, onef)
+    nex = sgn * nx
+    ney = sgn * ny
+    nez = sgn * nz
+    ratio = jnp.where(inside, onef / irx, irx)
+    cos_t = -(dx * nex + dy * ney + dz * nez)
+    px = ratio * (dx + cos_t * nex)
+    py = ratio * (dy + cos_t * ney)
+    pz = ratio * (dz + cos_t * nez)
+    pl2 = px * px + py * py + pz * pz
+    para = -jnp.sqrt(jnp.abs(onef - pl2))
+    qx = px + para * nex
+    qy = py + para * ney
+    qz = pz + para * nez
+    ql = jnp.sqrt(qx * qx + qy * qy + qz * qz)
+    ql = jnp.where(ql == 0.0, 1.0, ql)
+    diex = qx / ql
+    diey = qy / ql
+    diez = qz / ql
+
+    is_dif = kind < 0.5
+    is_met = (kind >= 0.5) & (kind < 1.5)
+    is_die = (kind >= 1.5) & (kind < 2.5)
+    is_emi = kind >= 2.5
+
+    scr = jnp.where(is_die, onef, ar)
+    scg = jnp.where(is_die, onef, ag)
+    scb = jnp.where(is_die, onef, ab)
+    ndx = jnp.where(is_dif, difx,
+                    jnp.where(is_met, metx,
+                              jnp.where(is_die, diex, nx)))
+    ndy = jnp.where(is_dif, dify,
+                    jnp.where(is_met, mety,
+                              jnp.where(is_die, diey, ny)))
+    ndz = jnp.where(is_dif, difz,
+                    jnp.where(is_met, metz,
+                              jnp.where(is_die, diez, nz)))
+    term = is_emi | (is_met & ~met_keep)
+
+    # ---- bounce bookkeeping (common.rs:263-285) --------------
+    miss = alive & ~hit
+    terminal = alive & hit & term
+    cont = alive & hit & ~term
+
+    # sky from current direction (dir is unit; renormalize like
+    # the reference does is a no-op here up to rounding)
+    tsky = jnp.float32(0.5) * (dy + onef)
+    skyr = onef - tsky * jnp.float32(0.5)
+    skyg = onef - tsky * jnp.float32(0.3)
+    skyb = onef
+
+    rr = rr + jnp.where(miss, tpr * skyr,
+                        jnp.where(terminal, tpr * scr, 0.0))
+    rg = rg + jnp.where(miss, tpg * skyg,
+                        jnp.where(terminal, tpg * scg, 0.0))
+    rb = rb + jnp.where(miss, tpb * skyb,
+                        jnp.where(terminal, tpb * scb, 0.0))
+    tpr = jnp.where(cont, tpr * scr, tpr)
+    tpg = jnp.where(cont, tpg * scg, tpg)
+    tpb = jnp.where(cont, tpb * scb, tpb)
+    ox = jnp.where(cont, hpx, ox)
+    oy = jnp.where(cont, hpy, oy)
+    oz = jnp.where(cont, hpz, oz)
+    dx = jnp.where(cont, ndx, dx)
+    dy = jnp.where(cont, ndy, dy)
+    dz = jnp.where(cont, ndz, dz)
+    alive_f = jnp.where(cont, 1.0, 0.0)
+    return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, alive_f, seg)
+
+
+def _block_pixel_setup(width, height, shard_rows, R, ntx, seed_ref):
+    """Per-block pixel id / activity planes shared by both kernels."""
+    blk = pl.program_id(0)
+    ty = blk // ntx
+    tx = blk - ty * ntx
+    # seed_ref[1] is the global row offset and seed_ref[2] the row
+    # STRIDE of this invocation's row set — a device's shard under
+    # shard_map owns global rows offset, offset+stride, offset+2*stride,
+    # ... (stride = n_devices interleaves rows round-robin across the
+    # mesh, which load-balances sky-heavy vs bounce-heavy regions; see
+    # parallel/sharding.py).  Pixel ids/RNG streams depend only on the
+    # global (row, col), so any (offset, stride) tiling is bitwise
+    # identical to the matching rows of a single-device render.
+    row_offset = seed_ref[1].astype(jnp.int32)
+    row_stride = seed_ref[2].astype(jnp.int32)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    band_row = ty * R + lane_row        # row within this shard's band
+    prow = row_offset + band_row * row_stride
+    pcol = tx * LANES + lane_col
+    # lanes outside the image OR outside this shard's row band are dead
+    # from the start (band overlap would double-trace and double-count)
+    active0 = (prow < height) & (pcol < width) & (band_row < shard_rows)
+    prow = jnp.minimum(prow, height - 1)
+    pcol = jnp.minimum(pcol, width - 1)
+    pix_safe = prow * width + pcol                     # (R,128) int32
+    pix_u = pix_safe.astype(jnp.uint32) + seed_ref[0]
+    return (active0, prow.astype(jnp.float32), pcol.astype(jnp.float32),
+            pix_u)
+
+
 def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                  parity_plane_sign, count_all_lanes,
                  n_sph_clusters=0, n_tri_clusters=0, shard_rows=None):
@@ -280,33 +593,8 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
         # a tile's rays form a tight frustum, which is what makes the
         # cluster bound tests below actually cull (a full-width stripe of
         # pixels would touch every cluster every bounce)
-        blk = pl.program_id(0)
-        ty = blk // ntx
-        tx = blk - ty * ntx
-        # seed_ref[1] is the global row offset and seed_ref[2] the row
-        # STRIDE of this invocation's row set — a device's shard under
-        # shard_map owns global rows offset, offset+stride, offset+2*stride,
-        # ... (stride = n_devices interleaves rows round-robin across the
-        # mesh, which load-balances sky-heavy vs bounce-heavy regions; see
-        # parallel/sharding.py).  Pixel ids/RNG streams depend only on the
-        # global (row, col), so any (offset, stride) tiling is bitwise
-        # identical to the matching rows of a single-device render.
-        row_offset = seed_ref[1].astype(jnp.int32)
-        row_stride = seed_ref[2].astype(jnp.int32)
-        lane_row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
-        lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-        band_row = ty * R + lane_row        # row within this shard's band
-        prow = row_offset + band_row * row_stride
-        pcol = tx * LANES + lane_col
-        # lanes outside the image OR outside this shard's row band are dead
-        # from the start (band overlap would double-trace and double-count)
-        active0 = (prow < height) & (pcol < width) & (band_row < shard_rows)
-        prow = jnp.minimum(prow, height - 1)
-        pcol = jnp.minimum(pcol, width - 1)
-        pix_safe = prow * width + pcol                     # (R,128) int32
-        prow_f = prow.astype(jnp.float32)
-        pcol_f = pcol.astype(jnp.float32)
-        pix_u = pix_safe.astype(jnp.uint32) + seed_ref[0]
+        active0, prow_f, pcol_f, pix_u = _block_pixel_setup(
+            width, height, shard_rows, R, ntx, seed_ref)
 
         ox0 = cam_ref[0]
         oy0 = cam_ref[1]
@@ -365,300 +653,46 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                 seg = seg + alive_f
 
                 # ---- closest hit over spheres (common.rs:60-98) ----------
-                t_best = jnp.full((R, LANES), BIG)
-                # winning-primitive attribute planes
-                nx = zero
-                ny = zero
-                nz = one
-                kind = zero
-                ar = zero
-                ag = zero
-                ab = zero
-                fz = zero
-                irx = one
-
-                def sph_body(si, hs):
-                    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
-                    cx = sph_ref[_SPH_CX, si]
-                    cy = sph_ref[_SPH_CY, si]
-                    cz = sph_ref[_SPH_CZ, si]
-                    r2 = sph_ref[_SPH_R2, si]
-                    ocx = ox - cx
-                    ocy = oy - cy
-                    ocz = oz - cz
-                    half_b = ocx * dx + ocy * dy + ocz * dz
-                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                    disc = half_b * half_b - cc
-                    ok = (disc >= 0.0) & (r2 > 0.0)
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    root1 = -half_b - sq
-                    root2 = -half_b + sq
-                    t = jnp.where(root1 > T_MIN, root1,
-                                  jnp.where(root2 > T_MIN, root2, BIG))
-                    t = jnp.where(ok, t, BIG)
-                    better = t < t_best
-                    t_best = jnp.where(better, t, t_best)
-                    # sphere normal at p: ((p - c)/r).normalize(); defer to
-                    # after the loop needing (cx, cy, cz, rinv) — store those
-                    nx = jnp.where(better, cx, nx)
-                    ny = jnp.where(better, cy, ny)
-                    nz = jnp.where(better, cz, nz)
-                    kind = jnp.where(better, sph_ref[_SPH_KIND, si], kind)
-                    ar = jnp.where(better, sph_ref[_SPH_AR, si], ar)
-                    ag = jnp.where(better, sph_ref[_SPH_AG, si], ag)
-                    ab = jnp.where(better, sph_ref[_SPH_AB, si], ab)
-                    fz = jnp.where(better, sph_ref[_SPH_FUZZ, si], fz)
-                    irx = jnp.where(better, sph_ref[_SPH_IR, si], irx)
-                    return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
-
-                hs0 = (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
-                if n_sph_clusters > 0:
-                    # block-level culling: one bounding-sphere test over the
-                    # whole wavefront per cluster; when no live lane can beat
-                    # its current closest hit, the member loop runs with a
-                    # zero trip count (traced bounds, no cond needed)
-                    def sph_cluster_body(ci, hs):
-                        t_best = hs[0]
-                        bcx = sphc_b_ref[0, ci]
-                        bcy = sphc_b_ref[1, ci]
-                        bcz = sphc_b_ref[2, ci]
-                        br2 = sphc_b_ref[3, ci]
-                        ocx = ox - bcx
-                        ocy = oy - bcy
-                        ocz = oz - bcz
-                        hb = ocx * dx + ocy * dy + ocz * dz
-                        cc = ocx * ocx + ocy * ocy + ocz * ocz - br2
-                        disc = hb * hb - cc
-                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                        entry = jnp.maximum(-hb - sq, 0.0)
-                        possible = ((disc >= 0.0) & (-hb + sq > T_MIN)
-                                    & (entry <= t_best) & alive)
-                        any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
-                        s0 = jnp.where(any_p > 0.0, sphc_r_ref[0, ci], 0)
-                        s1 = jnp.where(any_p > 0.0, sphc_r_ref[1, ci], 0)
-                        return jax.lax.fori_loop(s0, s1, sph_body, hs)
-
-                    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
-                        jax.lax.fori_loop(0, n_sph_clusters,
-                                          sph_cluster_body, hs0)
-                else:
-                    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
-                        jax.lax.fori_loop(0, n_spheres, sph_body, hs0)
-
-                # sphere hit normal from stored center: normalize(p - c)
-                # flipped for negative radii ((p-c)/r, common.rs:94-95; the
-                # sign rides the kind encoding, kind+4 <=> r<0)
-                hpx = ox + t_best * dx
-                hpy = oy + t_best * dy
-                hpz = oz + t_best * dz
-                snx = hpx - nx
-                sny = hpy - ny
-                snz = hpz - nz
-                slen = jnp.sqrt(snx * snx + sny * sny + snz * snz)
-                slen = jnp.where(slen == 0.0, 1.0, slen)
-                neg_r = kind >= 3.5
-                slen = jnp.where(neg_r, -slen, slen)
-                kind = jnp.where(neg_r, kind - 4.0, kind)
-                nx = snx / slen
-                ny = sny / slen
-                nz = snz / slen
+                hs0 = (jnp.full((R, LANES), BIG),
+                       zero, zero, one,            # winning center (nx..nz)
+                       zero, zero, zero, zero,     # kind, ar, ag, ab
+                       zero, one)                  # fz, irx
+                hs = _sphere_loop(sph_ref, sphc_b_ref, sphc_r_ref,
+                                  n_spheres, n_sph_clusters,
+                                  ox, oy, oz, dx, dy, dz, alive, hs0)
+                hs, (hpx, hpy, hpz) = _sphere_normals(
+                    ox, oy, oz, dx, dy, dz, hs)
 
                 # ---- triangles (common.rs:124-166 via edge constants) ----
                 if n_tris > 0:
-                    def tri_body(ti, hs):
-                        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
-                        tnx = tri_ref[_TRI_NX, ti]
-                        tny = tri_ref[_TRI_NY, ti]
-                        tnz = tri_ref[_TRI_NZ, ti]
-                        td = tri_ref[_TRI_D, ti]
-                        nd = tnx * dx + tny * dy + tnz * dz
-                        no = tnx * ox + tny * oy + tnz * oz
-                        par = jnp.abs(nd) < 1e-8
-                        nd_safe = jnp.where(par, 1.0, nd)
-                        if parity_plane_sign:
-                            t = (no + td) / nd_safe
-                        else:
-                            t = (td - no) / nd_safe
-                        ok = (~par) & (t >= T_MIN)
-                        g0x = tri_ref[_TRI_G0X, ti]
-                        g0y = tri_ref[_TRI_G0Y, ti]
-                        g0z = tri_ref[_TRI_G0Z, ti]
-                        e0 = (ox * g0x + oy * g0y + oz * g0z
-                              + t * (dx * g0x + dy * g0y + dz * g0z)
-                              - tri_ref[_TRI_W0, ti])
-                        ok &= e0 >= 0.0
-                        g1x = tri_ref[_TRI_G1X, ti]
-                        g1y = tri_ref[_TRI_G1Y, ti]
-                        g1z = tri_ref[_TRI_G1Z, ti]
-                        e1 = (ox * g1x + oy * g1y + oz * g1z
-                              + t * (dx * g1x + dy * g1y + dz * g1z)
-                              - tri_ref[_TRI_W1, ti])
-                        ok &= e1 >= 0.0
-                        g2x = tri_ref[_TRI_G2X, ti]
-                        g2y = tri_ref[_TRI_G2Y, ti]
-                        g2z = tri_ref[_TRI_G2Z, ti]
-                        e2 = (ox * g2x + oy * g2y + oz * g2z
-                              + t * (dx * g2x + dy * g2y + dz * g2z)
-                              - tri_ref[_TRI_W2, ti])
-                        ok &= e2 >= 0.0
-                        # triangle wins ties (<=): common.rs:142 vs World::hit
-                        better = ok & (t <= t_best)
-                        t_best = jnp.where(better, t, t_best)
-                        nx = jnp.where(better, tri_ref[_TRI_UNX, ti], nx)
-                        ny = jnp.where(better, tri_ref[_TRI_UNY, ti], ny)
-                        nz = jnp.where(better, tri_ref[_TRI_UNZ, ti], nz)
-                        kind = jnp.where(better, tri_ref[_TRI_KIND, ti], kind)
-                        ar = jnp.where(better, tri_ref[_TRI_AR, ti], ar)
-                        ag = jnp.where(better, tri_ref[_TRI_AG, ti], ag)
-                        ab = jnp.where(better, tri_ref[_TRI_AB, ti], ab)
-                        fz = jnp.where(better, 0.0, fz)
-                        irx = jnp.where(better, 1.0, irx)
-                        return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
-
-                    ht0 = (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
+                    tri_body = _make_tri_body(
+                        lambda row, ti: tri_ref[row, ti], parity_plane_sign,
+                        ox, oy, oz, dx, dy, dz)
                     if n_tri_clusters > 0:
                         def tri_cluster_body(ci, hs):
                             t_best = hs[0]
-                            bcx = tric_b_ref[0, ci]
-                            bcy = tric_b_ref[1, ci]
-                            bcz = tric_b_ref[2, ci]
-                            br2 = tric_b_ref[3, ci]
-                            ocx = ox - bcx
-                            ocy = oy - bcy
-                            ocz = oz - bcz
-                            hb = ocx * dx + ocy * dy + ocz * dz
-                            cc = ocx * ocx + ocy * ocy + ocz * ocz - br2
-                            disc = hb * hb - cc
-                            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                            entry = jnp.maximum(-hb - sq, 0.0)
-                            possible = ((disc >= 0.0) & (-hb + sq > T_MIN)
-                                        & (entry <= t_best) & alive)
+                            possible = _bound_test(
+                                tric_b_ref, ci, ox, oy, oz, dx, dy, dz,
+                                t_best, alive)
                             any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
                             s0 = jnp.where(any_p > 0.0, tric_r_ref[0, ci], 0)
                             s1 = jnp.where(any_p > 0.0, tric_r_ref[1, ci], 0)
                             return jax.lax.fori_loop(s0, s1, tri_body, hs)
 
-                        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
-                            jax.lax.fori_loop(0, n_tri_clusters,
-                                              tri_cluster_body, ht0)
+                        hs = jax.lax.fori_loop(0, n_tri_clusters,
+                                               tri_cluster_body, hs)
                     else:
-                        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = \
-                            jax.lax.fori_loop(0, n_tris, tri_body, ht0)
+                        hs = jax.lax.fori_loop(0, n_tris, tri_body, hs)
+                    t_best = hs[0]
                     hpx = ox + t_best * dx
                     hpy = oy + t_best * dy
                     hpz = oz + t_best * dz
 
-                hit = t_best < BIG
-                hpx = jnp.where(hit, hpx, ox)
-                hpy = jnp.where(hit, hpy, oy)
-                hpz = jnp.where(hit, hpz, oz)
-
-                # ---- RNG draw + scatter (materials.rs:30-102) ------------
-                bx, by, bz = _pcg3d(pix_u, s_u, jnp.uint32(1 + b))
-                two = jnp.float32(2.0)
-                onef = jnp.float32(1.0)
-                rx = _u01(bx) * two - onef
-                ry = _u01(by) * two - onef
-                rz = _u01(bz) * two - onef
-                rl = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-                rx, ry, rz = rx / rl, ry / rl, rz / rl   # unit cube sample
-
-                # diffuse: normal + rand (degenerate -> normal)
-                sdx = nx + rx
-                sdy = ny + ry
-                sdz = nz + rz
-                deg = ((jnp.abs(sdx) < 1e-8) & (jnp.abs(sdy) < 1e-8)
-                       & (jnp.abs(sdz) < 1e-8))
-                sl = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
-                sl = jnp.where(sl == 0.0, 1.0, sl)
-                difx = jnp.where(deg, nx, sdx / sl)
-                dify = jnp.where(deg, ny, sdy / sl)
-                difz = jnp.where(deg, nz, sdz / sl)
-
-                # metal: reflect + fuzz*rand; absorb below surface
-                dn = dx * nx + dy * ny + dz * nz
-                rfx = dx - two * dn * nx
-                rfy = dy - two * dn * ny
-                rfz = dz - two * dn * nz
-                mx = rfx + fz * rx
-                my = rfy + fz * ry
-                mz = rfz + fz * rz
-                met_keep = (mx * nx + my * ny + mz * nz) >= 0.0
-                ml = jnp.sqrt(mx * mx + my * my + mz * mz)
-                ml = jnp.where(ml == 0.0, 1.0, ml)
-                metx = mx / ml
-                mety = my / ml
-                metz = mz / ml
-
-                # dielectric: reference's inverted front-face rule
-                inside = dn >= 0.0
-                sgn = jnp.where(inside, -onef, onef)
-                nex = sgn * nx
-                ney = sgn * ny
-                nez = sgn * nz
-                ratio = jnp.where(inside, onef / irx, irx)
-                cos_t = -(dx * nex + dy * ney + dz * nez)
-                px = ratio * (dx + cos_t * nex)
-                py = ratio * (dy + cos_t * ney)
-                pz = ratio * (dz + cos_t * nez)
-                pl2 = px * px + py * py + pz * pz
-                para = -jnp.sqrt(jnp.abs(onef - pl2))
-                qx = px + para * nex
-                qy = py + para * ney
-                qz = pz + para * nez
-                ql = jnp.sqrt(qx * qx + qy * qy + qz * qz)
-                ql = jnp.where(ql == 0.0, 1.0, ql)
-                diex = qx / ql
-                diey = qy / ql
-                diez = qz / ql
-
-                is_dif = kind < 0.5
-                is_met = (kind >= 0.5) & (kind < 1.5)
-                is_die = (kind >= 1.5) & (kind < 2.5)
-                is_emi = kind >= 2.5
-
-                scr = jnp.where(is_die, onef, ar)
-                scg = jnp.where(is_die, onef, ag)
-                scb = jnp.where(is_die, onef, ab)
-                ndx = jnp.where(is_dif, difx,
-                                jnp.where(is_met, metx,
-                                          jnp.where(is_die, diex, nx)))
-                ndy = jnp.where(is_dif, dify,
-                                jnp.where(is_met, mety,
-                                          jnp.where(is_die, diey, ny)))
-                ndz = jnp.where(is_dif, difz,
-                                jnp.where(is_met, metz,
-                                          jnp.where(is_die, diez, nz)))
-                term = is_emi | (is_met & ~met_keep)
-
-                # ---- bounce bookkeeping (common.rs:263-285) --------------
-                miss = alive & ~hit
-                terminal = alive & hit & term
-                cont = alive & hit & ~term
-
-                # sky from current direction (dir is unit; renormalize like
-                # the reference does is a no-op here up to rounding)
-                tsky = jnp.float32(0.5) * (dy + onef)
-                skyr = onef - tsky * jnp.float32(0.5)
-                skyg = onef - tsky * jnp.float32(0.3)
-                skyb = onef
-
-                rr = rr + jnp.where(miss, tpr * skyr,
-                                    jnp.where(terminal, tpr * scr, 0.0))
-                rg = rg + jnp.where(miss, tpg * skyg,
-                                    jnp.where(terminal, tpg * scg, 0.0))
-                rb = rb + jnp.where(miss, tpb * skyb,
-                                    jnp.where(terminal, tpb * scb, 0.0))
-                tpr = jnp.where(cont, tpr * scr, tpr)
-                tpg = jnp.where(cont, tpg * scg, tpg)
-                tpb = jnp.where(cont, tpb * scb, tpb)
-                ox = jnp.where(cont, hpx, ox)
-                oy = jnp.where(cont, hpy, oy)
-                oz = jnp.where(cont, hpz, oz)
-                dx = jnp.where(cont, ndx, dx)
-                dy = jnp.where(cont, ndy, dy)
-                dz = jnp.where(cont, ndz, dz)
-                alive_f = jnp.where(cont, 1.0, 0.0)
+                # ---- RNG draw + scatter + bookkeeping --------------------
+                (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb,
+                 alive_f, seg) = _scatter_bookkeep(
+                    pix_u, s_u, b, ox, oy, oz, dx, dy, dz, hpx, hpy, hpz,
+                    hs, tpr, tpg, tpb, rr, rg, rb, alive, seg)
                 return (b + 1, ox, oy, oz, dx, dy, dz, tpr, tpg, tpb,
                         rr, rg, rb, alive_f, seg)
 
