@@ -110,7 +110,8 @@ class TestStreamTables:
         scene, _ = mesh_world
         tri_hbm, leafb, leafn, topb, topr = ws.build_tri_stream_tables(scene)
         L = leafb.shape[1]
-        assert tri_hbm.shape == (wf.TRI_ROWS, L * ws.LEAF)
+        assert tri_hbm.shape == (ws.TRI_ROWS_PAD, L * ws.LEAF)
+        assert ws.TRI_ROWS_PAD % 8 == 0  # HBM (8,128) tiling alignment
         n_valid = int(np.sum(np.asarray(scene.tri_valid)))
         assert int(leafn.sum()) == n_valid
         assert (leafn <= ws.LEAF).all()
