@@ -117,7 +117,7 @@ def scene_tables(scene: Scene, parity_plane_sign: bool):
 def scene_stream_tables(scene: Scene):
     """Packed tables for the HBM-streamed kernel, cached on scene identity:
     (sph_table, sph_clusters, tri_hbm, leaf_bounds, leaf_counts,
-    top_bounds, top_ranges)."""
+    top_bounds, top_ranges, root_bound)."""
     global pack_events
     key = (id(scene), "stream")
     hit = _TABLE_CACHE.get(key)
@@ -186,13 +186,15 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
         from .pallas import wavefront as wf
         from .pallas import wavefront_stream as ws
         (sph, sph_cl, tri_hbm, leafb, leafn,
-         topb, topr) = scene_stream_tables(scene)
+         topb, topr, root) = scene_stream_tables(scene)
         cv = wf.camera_vec(camera)
+        order, keys = ws.sorted_top_order(topb, np.asarray(camera.origin))
         return ws.render_linear_pallas_stream(
-            sph, tri_hbm, leafb, leafn, topb, topr, cv,
+            sph, tri_hbm, leafb, leafn, topb, topr, root, cv,
             width=width, height=height,
             samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
-            sph_clusters=sph_cl)
+            sph_clusters=sph_cl, top_order=jnp.asarray(order),
+            top_keys=jnp.asarray(keys))
     return render_mod.render_linear(
         scene, camera, width=width, height=height,
         samples_per_pixel=samples_per_pixel, depth=depth,
@@ -212,8 +214,11 @@ def _render_banded(scene, camera, *, width, height, samples_per_pixel,
         from .pallas import wavefront as wf
         from .pallas import wavefront_stream as ws
         (sph, sph_cl, tri_hbm, leafb, leafn,
-         topb, topr) = scene_stream_tables(scene)
+         topb, topr, root) = scene_stream_tables(scene)
         cv = wf.camera_vec(camera)
+        s_order, s_keys = ws.sorted_top_order(
+            topb, np.asarray(camera.origin))
+        s_order, s_keys = jnp.asarray(s_order), jnp.asarray(s_keys)
     else:
         rows_full = jnp.repeat(jnp.arange(band, dtype=jnp.int32), width)
         cols_full = jnp.tile(jnp.arange(width, dtype=jnp.int32), band)
@@ -233,10 +238,11 @@ def _render_banded(scene, camera, *, width, height, samples_per_pixel,
             mean = mean[:rows_here]
         elif engine == "pallas_stream":
             mean, segs = ws.render_linear_pallas_stream(
-                sph, tri_hbm, leafb, leafn, topb, topr, cv,
+                sph, tri_hbm, leafb, leafn, topb, topr, root, cv,
                 width=width, height=height,
                 samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
-                sph_clusters=sph_cl, shard_rows=band, row_offset=r0)
+                sph_clusters=sph_cl, top_order=s_order, top_keys=s_keys,
+                shard_rows=band, row_offset=r0)
             mean = mean[:rows_here]
         else:
             rows = rows_full + r0

@@ -7,11 +7,16 @@ variant breaks that wall:
   * the packed triangle table lives in HBM, laid out as 128-wide LEAF
     blocks (a BVH-style median-split orders the triangles so each leaf is
     spatially tight and starts at a lane-aligned column);
-  * a TWO-LEVEL bounding-sphere tree rides in SMEM scalar-prefetch arrays:
-    top nodes (~fanout leaves each) and leaves, both as (4, N) bounds;
-  * per bounce, the kernel walks top nodes, then leaves, with the same
-    conservative wavefront bound test as the SMEM kernel's cluster culling;
-    a PASSING leaf's 128-column slice is DMA'd HBM -> SMEM scratch and its
+  * a two-level bounding-sphere tree (top nodes of ~8 leaves, leaves of
+    <=128 triangles, plus a root bound) rides in SMEM scalar-prefetch
+    arrays; per bounce the kernel walks TOP NODES FRONT-TO-BACK (visit
+    order + entry-distance keys sorted by camera distance, host-side) with
+    the same conservative wavefront bound test as the SMEM kernel's
+    cluster culling, and on the PRIMARY bounce the walk STOPS as soon as
+    every root-relevant lane's closest hit beats the next node's entry
+    lower bound (sky lanes are excluded via the root-bound test, so a tile
+    that misses the whole mesh skips the walk entirely on every bounce);
+  * a PASSING leaf's 128-column slice is DMA'd HBM -> SMEM scratch and its
     members run through the shared triangle tester
     (wavefront._make_tri_body) with leaf-local indices.
 
@@ -58,15 +63,15 @@ TRI_ROWS_PAD = -(-TRI_ROWS // 8) * 8
 
 
 def build_tri_stream_tables(scene: Scene, top_fanout: int = 8):
-    """Host-side leaf-aligned triangle table + two-level bound tree.
+    """Host-side leaf-aligned triangle table + two-level bounds + root.
 
     Returns (tri_hbm (TRI_ROWS_PAD, L*128) f32, leaf_bounds (4, L) f32,
-    leaf_counts (1, L) i32, top_bounds (4, Ctop) f32, top_ranges (2, Ctop)
-    i32).  Leaves are median-split spatial clusters of <= 128 valid
-    triangles, padded to 128 columns with never-hit zeros; top node k
-    covers leaves [top_ranges[0,k], top_ranges[1,k]) — consecutive leaves
-    are spatially coherent because the median split emits them in DFS
-    order.
+    leaf_counts (1, L) i32, top_bounds (4, C) f32, top_ranges (2, C) i32,
+    root_bound (4, 1) f32).  Leaves are median-split spatial clusters of
+    <= 128 valid triangles, padded to 128 columns with never-hit zeros,
+    emitted in DFS order (spatially coherent); top node k covers leaves
+    [top_ranges[0,k], top_ranges[1,k]) — DFS-consecutive groups, so they
+    are spatially tight too.
     """
     v0 = np.asarray(scene.tri_v0, np.float64)
     v1 = np.asarray(scene.tri_v1, np.float64)
@@ -110,8 +115,6 @@ def build_tri_stream_tables(scene: Scene, top_fanout: int = 8):
         if not members:
             top_bounds[3, k] = -1.0
             continue
-        # merge member bounding spheres: center of centers' AABB, radius
-        # covering every member sphere
         bc = (leaf_bounds[0:3, members].min(axis=1)
               + leaf_bounds[0:3, members].max(axis=1)) * 0.5
         br = 0.0
@@ -121,7 +124,44 @@ def build_tri_stream_tables(scene: Scene, top_fanout: int = 8):
         br = br * _BOUND_PAD + 1e-4
         top_bounds[0:3, k] = bc
         top_bounds[3, k] = br * br
-    return (tri_hbm, leaf_bounds, leaf_counts, top_bounds, top_ranges)
+
+    # root bound: union of the leaf bounding spheres — the kernel uses it to
+    # exclude rays that cannot hit ANY triangle from the early-exit test
+    root = np.zeros((4, 1), np.float32)
+    live = [k for k in range(L) if leaf_counts[0, k] > 0]
+    if live:
+        bc = (leaf_bounds[0:3, live].min(axis=1)
+              + leaf_bounds[0:3, live].max(axis=1)) * 0.5
+        br = 0.0
+        for m in live:
+            d = float(np.linalg.norm(leaf_bounds[0:3, m] - bc))
+            br = max(br, d + float(np.sqrt(leaf_bounds[3, m])))
+        br = br * _BOUND_PAD + 1e-4
+        root[0:3, 0] = bc
+        root[3, 0] = br * br
+    else:
+        root[3, 0] = -1.0
+    return (tri_hbm, leaf_bounds, leaf_counts, top_bounds,
+            top_ranges, root)
+
+
+def sorted_top_order(top_bounds, origin):
+    """Front-to-back TOP-NODE visit order for a render from ``origin``.
+
+    Returns (order (1, C) i32, keys (1, C) f32): top nodes sorted by
+    ``dist(origin, center) - radius`` — a lower bound on any
+    ray-from-origin's entry distance into the node, so the kernel's
+    primary-bounce walk can STOP once every relevant lane's closest hit is
+    nearer than ``keys[oi]`` (keys are nondecreasing along the order).
+    Empty nodes sort last with +inf keys.
+    """
+    b = np.asarray(top_bounds, np.float32)
+    L = b.shape[1]
+    d = np.linalg.norm(b[0:3].T - np.asarray(origin, np.float32), axis=1)
+    keys = d - np.sqrt(np.maximum(b[3], 0.0))
+    keys = np.where(b[3] < 0.0, np.inf, keys).astype(np.float32)
+    order = np.argsort(keys, kind="stable").astype(np.int32)
+    return order.reshape(1, L), keys[order].reshape(1, L)
 
 
 def _make_stream_kernel(width, height, spp, depth, n_spheres, block_rows,
@@ -132,8 +172,8 @@ def _make_stream_kernel(width, height, spp, depth, n_spheres, block_rows,
     inv_h1 = np.float32(height - 1)
 
     def kernel(cam_ref, sph_ref, sphc_b_ref, sphc_r_ref, leafb_ref,
-               leafn_ref, topb_ref, topr_ref, seed_ref, tri_hbm, out_ref,
-               tri_smem, dma_sem):
+               leafn_ref, topb_ref, topr_ref, order_ref, keys_ref,
+               root_ref, seed_ref, tri_hbm, out_ref, tri_smem, dma_sem):
         active0, prow_f, pcol_f, pix_u = _block_pixel_setup(
             width, height, shard_rows, R, ntx, seed_ref)
 
@@ -188,10 +228,27 @@ def _make_stream_kernel(width, height, spp, depth, n_spheres, block_rows,
                 hs, (hpx, hpy, hpz) = _sphere_normals(
                     ox, oy, oz, dx, dy, dz, hs)
 
-                # ---- streamed triangles: top -> leaf -> DMA -> members ---
+                # ---- streamed triangles: sorted leaf walk + early exit ---
                 tri_body = _make_tri_body(
                     lambda row, i: tri_smem[row, i], False,
                     ox, oy, oz, dx, dy, dz)
+
+                # Lanes whose ray misses the ROOT bound can never hit a
+                # triangle — exclude them from the exit test so sky rays
+                # don't hold t_best=BIG and pin the walk open.
+                root_p = _bound_test(root_ref, 0, ox, oy, oz, dx, dy, dz,
+                                     jnp.full((R, LANES), BIG), alive)
+
+                # keys_ref[0, oi] (nondecreasing) lower-bounds the entry
+                # distance of any PRIMARY ray into top node order_ref[0,oi]
+                # (all primaries share the camera origin).  Once every
+                # root-relevant lane's closest hit beats that bound, no
+                # remaining node can change the image: stop.  For bounce>0
+                # the origins differ, so the bound is invalid and the walk
+                # runs to the end (per-node/leaf entry<=t_best culling
+                # still prunes) — unless NO lane is root-relevant, which
+                # exits immediately on any bounce.
+                is_primary = (b == 0)
 
                 def leaf_body(li, hs):
                     t_best = hs[0]
@@ -210,16 +267,32 @@ def _make_stream_kernel(width, height, spp, depth, n_spheres, block_rows,
 
                     return jax.lax.fori_loop(0, n_mem, tri_body, hs)
 
-                def top_body(ci, hs):
+                def walk_cond(wst):
+                    oi, hs = wst[0], wst[1:]
                     t_best = hs[0]
+                    # root-irrelevant lanes contribute -BIG: a tile with NO
+                    # root-relevant lane exits immediately on any bounce
+                    relevant_t = jnp.where(root_p, t_best, -BIG)
+                    oi_safe = jnp.minimum(oi, n_tops - 1)
+                    exit_key = jnp.where(is_primary, keys_ref[0, oi_safe],
+                                         jnp.float32(-1.0))
+                    return (oi < n_tops) & (jnp.max(relevant_t) > exit_key)
+
+                def walk_body(wst):
+                    oi, hs = wst[0], wst[1:]
+                    t_best = hs[0]
+                    ci = order_ref[0, oi]
                     possible = _bound_test(topb_ref, ci, ox, oy, oz,
                                            dx, dy, dz, t_best, alive)
                     any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
                     l0 = jnp.where(any_p > 0.0, topr_ref[0, ci], 0)
                     l1 = jnp.where(any_p > 0.0, topr_ref[1, ci], 0)
-                    return jax.lax.fori_loop(l0, l1, leaf_body, hs)
+                    hs = jax.lax.fori_loop(l0, l1, leaf_body, hs)
+                    return (oi + 1,) + hs
 
-                hs = jax.lax.fori_loop(0, n_tops, top_body, hs)
+                wst = jax.lax.while_loop(walk_cond, walk_body,
+                                         (jnp.int32(0),) + hs)
+                hs = wst[1:]
                 t_best = hs[0]
                 hpx = ox + t_best * dx
                 hpy = oy + t_best * dy
@@ -255,16 +328,24 @@ def _make_stream_kernel(width, height, spp, depth, n_spheres, block_rows,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
                      "block_rows", "interpret", "shard_rows"))
 def render_linear_pallas_stream(sph_table, tri_hbm, leaf_bounds, leaf_counts,
-                                top_bounds, top_ranges, cam_vec, *,
+                                top_bounds, top_ranges, root_bound,
+                                cam_vec, *,
                                 width, height, samples_per_pixel, depth,
                                 seed=0, block_rows=32, interpret=False,
-                                sph_clusters=None, shard_rows=None,
+                                sph_clusters=None, top_order=None,
+                                top_keys=None, shard_rows=None,
                                 row_offset=0, row_stride=1):
     """Mean linear radiance [rows, W, 3] + segment count via the
     HBM-streamed kernel.  Table args come from pack_spheres +
     build_tri_stream_tables; sharding args as in render_linear_pallas.
     Always uses the CORRECT triangle plane equation
-    (parity_plane_sign=False)."""
+    (parity_plane_sign=False).
+
+    top_order/top_keys (from ``sorted_top_order(top_bounds,
+    camera.origin)``) enable the primary-bounce front-to-back early exit;
+    without them top nodes are visited in table order and the walk never
+    exits early on the primary bounce (identical image either way up to
+    closest-hit ties)."""
     if shard_rows is None:
         shard_rows = height
     ntx = pl.cdiv(width, LANES)
@@ -273,6 +354,10 @@ def render_linear_pallas_stream(sph_table, tri_hbm, leaf_bounds, leaf_counts,
     rows_total = nblocks * block_rows
     n_spheres = sph_table.shape[1]
     n_tops = top_bounds.shape[1]
+    if top_order is None:
+        top_order = jnp.arange(n_tops, dtype=jnp.int32).reshape(1, -1)
+        # -inf keys: the primary walk never exits early in table order
+        top_keys = jnp.full((1, n_tops), -jnp.inf, jnp.float32)
 
     if sph_clusters is None:
         sphc_b = jnp.zeros((4, 1), jnp.float32)
@@ -292,7 +377,7 @@ def render_linear_pallas_stream(sph_table, tri_hbm, leaf_bounds, leaf_counts,
         jnp.asarray(row_stride, jnp.int32).astype(jnp.uint32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=12,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # tri table in HBM
         out_specs=pl.BlockSpec((4, block_rows, LANES),
@@ -310,7 +395,8 @@ def render_linear_pallas_stream(sph_table, tri_hbm, leaf_bounds, leaf_counts,
         out_shape=jax.ShapeDtypeStruct((4, rows_total, LANES), jnp.float32),
         interpret=interpret,
     )(cam_vec, sph_table, sphc_b, sphc_r, leaf_bounds, leaf_counts,
-      top_bounds, top_ranges, seed_arr, tri_hbm)
+      top_bounds, top_ranges, top_order, top_keys, root_bound, seed_arr,
+      tri_hbm)
 
     tiles = img.reshape(4, nty, ntx, block_rows, LANES)
     planes = tiles.transpose(0, 1, 3, 2, 4).reshape(

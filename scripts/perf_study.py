@@ -1,0 +1,234 @@
+"""Perf-study harness: the measured comparisons behind design decisions.
+
+The reference ships a criterion benchmark comparing dispatch strategies as
+a design-decision record (benches/dynamic_vs_enum_dispatch/main.rs:24-89).
+This is the TPU framework's analog: one re-runnable script producing
+PERFSTUDY.json with every comparative measurement that drove an
+architectural choice, so the choices stay auditable as the code evolves.
+
+Studies (run on the real TPU chip; `python scripts/perf_study.py write`
+rewrites PERFSTUDY.json):
+
+  tile        block_rows sweep for the fused kernel (chosen: 32)
+  argmin      scan-with-select vs argmin+gather closest-hit (XLA path;
+              the TPU analog of the reference's dynamic-vs-enum study —
+              how to resolve the winning primitive without gathers)
+  clusters    flat scan vs median-split cluster culling (random spheres)
+  stream      SMEM kernel vs HBM-streamed kernel at 10k tris, and the
+              streamed kernel's sorted front-to-back walk vs table order
+              at 164k tris (primary vs full depth)
+
+Timing: min over trials of (t(2k)-t(k))/k with async dispatch batches —
+cancels the tunnel's per-dispatch RPC (see bench.py).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def marginal(fn, k=4, trials=2):
+    import jax
+    jax.block_until_ready(fn(0))
+
+    def batch(n, s0):
+        t0 = time.perf_counter()
+        outs = [fn(s0 + i) for i in range(n)]
+        jax.block_until_ready(outs)
+        return time.perf_counter() - t0
+
+    return min(max(batch(2 * k, 1000 * t + 500) - batch(k, 1000 * t), 1e-9)
+               / k for t in range(trials))
+
+
+def study_tile():
+    import raytracer_tpu as rt
+    from raytracer_tpu import ops as ops_mod
+    from raytracer_tpu.ops.pallas import wavefront as wf
+    world = rt.models.default_world()
+    scene, cam = world.to_scene(), world.to_camera()
+    sph, tri, scl, tcl = ops_mod.scene_tables(scene, True)
+    cv = wf.camera_vec(cam)
+    out = []
+    for br in (8, 16, 32, 64):
+        def run(s, br=br):
+            return wf.render_linear_pallas(
+                sph, tri, cv, width=512, height=512, samples_per_pixel=64,
+                depth=8, seed=s, block_rows=br, parity_plane_sign=True,
+                sph_clusters=scl, tri_clusters=tcl)
+        _, segs = run(0)
+        dt = marginal(run)
+        out.append({"block_rows": br, "ms": dt * 1e3,
+                    "mrays_per_s": int(segs) / dt / 1e6})
+    best = max(out, key=lambda r: r["mrays_per_s"])
+    return {"study": "tile", "decision": "block_rows=32 default",
+            "best": best["block_rows"], "rows": out}
+
+
+def study_argmin():
+    import jax
+    import raytracer_tpu as rt
+    from raytracer_tpu import intersect
+    world = rt.models.default_world()
+    scene = world.to_scene()
+    cam = world.to_camera()
+    pack = intersect.pack_scene(scene)
+    import jax.numpy as jnp
+    n = 1 << 16
+    u = jnp.linspace(0.0, 1.0, n)
+    v = jnp.tile(jnp.linspace(0.0, 1.0, 256), n // 256)
+    o, d = cam.cast_rays(u, v)
+
+    fns = {
+        "scan_with_select": jax.jit(lambda o, d: intersect.closest_hit_batch(
+            o, d, scene, pack)),
+        "argmin_gather": jax.jit(lambda o, d: intersect.closest_hit_batch_argmin(
+            o, d, scene, pack)),
+    }
+    out = []
+    for name, fn in fns.items():
+        def run(s, fn=fn):
+            return fn(o + s * 1e-9, d)
+        dt = marginal(run)
+        out.append({"formulation": name, "us": dt * 1e6,
+                    "mrays_per_s": n / dt / 1e6})
+    return {"study": "argmin",
+            "decision": "scan-with-select winning-attribute planes "
+                        "(no gathers) is the production formulation",
+            "rows": out}
+
+
+def study_clusters():
+    import raytracer_tpu as rt
+    from raytracer_tpu import ops as ops_mod
+    from raytracer_tpu.ops.pallas import wavefront as wf
+    scene, cam = rt.models.random_spheres()
+    cv = wf.camera_vec(cam)
+    import jax.numpy as jnp
+    sph_flat = jnp.asarray(wf.pack_spheres(scene))
+    tri = jnp.asarray(wf.pack_triangles(scene))
+    perm, b, rg = wf.cluster_spheres(scene)
+    sph_cl = jnp.asarray(wf.pack_spheres(scene, perm=perm))
+    cl = (jnp.asarray(b), jnp.asarray(rg))
+    out = []
+    for name, sph, clusters in (("flat_scan", sph_flat, None),
+                                ("cluster_culling", sph_cl, cl)):
+        def run(s, sph=sph, clusters=clusters):
+            return wf.render_linear_pallas(
+                sph, tri, cv, width=512, height=512, samples_per_pixel=16,
+                depth=8, seed=s, parity_plane_sign=True,
+                sph_clusters=clusters)
+        _, segs = run(0)
+        dt = marginal(run)
+        out.append({"mode": name, "ms": dt * 1e3,
+                    "mrays_per_s": int(segs) / dt / 1e6})
+    return {"study": "clusters",
+            "decision": "median-split cluster culling on for >=64 spheres",
+            "spheres": scene.num_spheres, "rows": out}
+
+
+def study_stream():
+    import numpy as np
+    import jax.numpy as jnp
+    import raytracer_tpu as rt
+    from raytracer_tpu import ops as ops_mod
+    from raytracer_tpu.ops.pallas import wavefront as wf
+    from raytracer_tpu.ops.pallas import wavefront_stream as ws
+    from raytracer_tpu.models.builders import icosphere_mesh
+    from raytracer_tpu.scene import build_scene, build_materials, DIFFUSE, METAL
+
+    rows = []
+    # 10k-tri scene: SMEM kernel vs streamed kernel
+    scene, cam = rt.models.obj_mesh_scene()
+    cv = wf.camera_vec(cam)
+    sph_t, tri_t, scl, tcl = ops_mod.scene_tables(scene, False)
+
+    def run_smem(s):
+        return wf.render_linear_pallas(
+            sph_t, tri_t, cv, width=512, height=512, samples_per_pixel=4,
+            depth=4, seed=s, parity_plane_sign=False, sph_clusters=scl,
+            tri_clusters=tcl)
+    _, segs = run_smem(0)
+    dt = marginal(run_smem)
+    rows.append({"scene": "obj_10k", "engine": "pallas_smem",
+                 "ms": dt * 1e3, "mrays_per_s": int(segs) / dt / 1e6})
+
+    (sph, sph_cl, tri_hbm, leafb, leafn,
+     topb, topr, root) = ops_mod.scene_stream_tables(scene)
+    order, keys = ws.sorted_top_order(np.asarray(topb),
+                                      np.asarray(cam.origin))
+    order, keys = jnp.asarray(order), jnp.asarray(keys)
+
+    def run_stream(s):
+        return ws.render_linear_pallas_stream(
+            sph, tri_hbm, leafb, leafn, topb, topr, root, cv,
+            width=512, height=512, samples_per_pixel=4, depth=4, seed=s,
+            sph_clusters=sph_cl, top_order=order, top_keys=keys)
+    _, segs = run_stream(0)
+    dt = marginal(run_stream)
+    rows.append({"scene": "obj_10k", "engine": "pallas_stream",
+                 "ms": dt * 1e3, "mrays_per_s": int(segs) / dt / 1e6})
+
+    # 164k-tri scene: sorted vs unsorted walk, depth 1 and 4
+    tris = (icosphere_mesh((-0.6, 0.0, -1.4), 0.45, 0, 6)
+            + icosphere_mesh((0.6, 0.0, -1.2), 0.45, 2, 6))
+    mats = build_materials([(DIFFUSE, (0.7, 0.3, 0.3), 0.0, 1.0),
+                            (DIFFUSE, (0.8, 0.8, 0.0), 0.0, 1.0),
+                            (METAL, (0.85, 0.85, 0.9), 0.05, 1.0)])
+    big = build_scene([((0.0, -100.5, -1.0), 100.0, 1)], tris, mats)
+    (sphB, sph_clB, tri_hbmB, leafbB, leafnB,
+     topbB, toprB, rootB) = ops_mod.scene_stream_tables(big)
+    orderB, keysB = ws.sorted_top_order(np.asarray(topbB),
+                                        np.asarray(cam.origin))
+    orderB, keysB = jnp.asarray(orderB), jnp.asarray(keysB)
+    for mode in ("sorted", "table_order"):
+        for depth in (1, 4):
+            kw = (dict(top_order=orderB, top_keys=keysB)
+                  if mode == "sorted" else {})
+
+            def run(s, depth=depth, kw=kw):
+                return ws.render_linear_pallas_stream(
+                    sphB, tri_hbmB, leafbB, leafnB, topbB, toprB, rootB,
+                    cv, width=512, height=512, samples_per_pixel=4,
+                    depth=depth, seed=s, sph_clusters=sph_clB, **kw)
+            _, segs = run(0)
+            dt = marginal(run, k=3)
+            rows.append({"scene": "icospheres_164k", "engine": "pallas_stream",
+                         "walk": mode, "depth": depth, "ms": dt * 1e3,
+                         "mrays_per_s": int(segs) / dt / 1e6})
+    return {"study": "stream",
+            "decision": "front-to-back sorted top walk + primary early "
+                        "exit; divergent secondary bounces remain the "
+                        "bottleneck (block-granularity culling)",
+            "rows": rows}
+
+
+STUDIES = {"tile": study_tile, "argmin": study_argmin,
+           "clusters": study_clusters, "stream": study_stream}
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    write = "write" in args
+    names = [a for a in args if a in STUDIES] or list(STUDIES)
+    results = []
+    for n in names:
+        r = STUDIES[n]()
+        results.append(r)
+        print(json.dumps(r))
+    if write:
+        import jax
+        doc = {"device": jax.devices()[0].device_kind,
+               "timing": "min (t(2k)-t(k))/k, async dispatch batches",
+               "studies": results}
+        (REPO / "PERFSTUDY.json").write_text(json.dumps(doc, indent=1) + "\n")
+        print(f"wrote {REPO / 'PERFSTUDY.json'}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,9 +32,10 @@ class TestStreamKernel:
 
     def _stream(self, scene, cam, tables, **kw):
         sph = jnp.asarray(wf.pack_spheres(scene))
-        tri_hbm, leafb, leafn, topb, topr = tables
+        tri_hbm, leafb, leafn, topb, topr, root = tables
         return ws.render_linear_pallas_stream(
-            sph, tri_hbm, leafb, leafn, topb, topr, wf.camera_vec(cam),
+            sph, tri_hbm, leafb, leafn, topb, topr, root,
+            wf.camera_vec(cam),
             width=kw.pop("width", self.W), height=kw.pop("height", self.H),
             samples_per_pixel=kw.pop("spp", self.SPP),
             depth=kw.pop("depth", self.D), interpret=True, **kw)
@@ -84,13 +85,27 @@ class TestStreamKernel:
         assert np.array_equal(np.asarray(full)[1:self.H:3],
                               np.asarray(sub)[: len(range(1, self.H, 3))])
 
+    def test_sorted_walk_matches_table_order(self, mesh_world,
+                                             stream_tables):
+        # front-to-back order + primary early exit must not change the
+        # image: the exit fires only when no remaining leaf can beat any
+        # relevant lane's closest hit
+        scene, cam = mesh_world
+        full, seg_full = self._stream(scene, cam, stream_tables)
+        order, keys = ws.sorted_top_order(stream_tables[3],
+                                          np.asarray(cam.origin))
+        srt, seg_srt = self._stream(scene, cam, stream_tables,
+                                    top_order=jnp.asarray(order),
+                                    top_keys=jnp.asarray(keys))
+        assert np.array_equal(np.asarray(full), np.asarray(srt))
+        assert int(seg_full) == int(seg_srt)
+
     def test_multi_leaf_scene(self):
-        # force several leaves + several top nodes (LEAF=128 members/leaf)
+        # force several leaves (LEAF=128 members/leaf)
         scene, cam = rt.models.mesh_scene(subdivisions=3)  # 1292 tris
         tables = tuple(jnp.asarray(t)
                        for t in ws.build_tri_stream_tables(scene))
         assert tables[1].shape[1] > 8      # leaves
-        assert tables[3].shape[1] > 1      # top nodes
         # multi-leaf traversal must agree with the SMEM kernel bitwise
         # (same math; only the streaming machinery differs)
         sph = jnp.asarray(wf.pack_spheres(scene))
@@ -108,7 +123,8 @@ class TestStreamKernel:
 class TestStreamTables:
     def test_leaf_alignment_and_counts(self, mesh_world):
         scene, _ = mesh_world
-        tri_hbm, leafb, leafn, topb, topr = ws.build_tri_stream_tables(scene)
+        (tri_hbm, leafb, leafn, topb, topr,
+         root) = ws.build_tri_stream_tables(scene)
         L = leafb.shape[1]
         assert tri_hbm.shape == (ws.TRI_ROWS_PAD, L * ws.LEAF)
         assert ws.TRI_ROWS_PAD % 8 == 0  # HBM (8,128) tiling alignment
@@ -120,12 +136,11 @@ class TestStreamTables:
             n = int(leafn[0, k])
             pad = tri_hbm[0:3, k * ws.LEAF + n:(k + 1) * ws.LEAF]
             assert not pad.any()
-        # top ranges tile the leaf list
-        assert topr[0, 0] == 0 and int(topr[1, -1]) == L
-
-    def test_top_bounds_contain_leaf_bounds(self, mesh_world):
+    def test_bounds_nest(self, mesh_world):
         scene, _ = mesh_world
-        _, leafb, leafn, topb, topr = ws.build_tri_stream_tables(scene)
+        (_, leafb, leafn, topb, topr,
+         root) = ws.build_tri_stream_tables(scene)
+        # every leaf inside its top node; every top inside the root
         for k in range(topb.shape[1]):
             if topb[3, k] < 0:
                 continue
@@ -134,6 +149,17 @@ class TestStreamTables:
                     continue
                 d = np.linalg.norm(leafb[0:3, m] - topb[0:3, k])
                 assert d + np.sqrt(leafb[3, m]) <= np.sqrt(topb[3, k]) + 1e-3
+            d = np.linalg.norm(topb[0:3, k] - root[0:3, 0])
+            assert d + np.sqrt(topb[3, k]) <= np.sqrt(root[3, 0]) + 1e-3
+
+    def test_sorted_order_keys_nondecreasing(self, mesh_world):
+        scene, cam = mesh_world
+        tables = ws.build_tri_stream_tables(scene)
+        topb = tables[3]
+        order, keys = ws.sorted_top_order(topb, np.asarray(cam.origin))
+        assert sorted(order[0].tolist()) == list(range(topb.shape[1]))
+        finite = keys[0][np.isfinite(keys[0])]
+        assert (np.diff(finite) >= 0).all()
 
 
 class TestStreamDispatch:
