@@ -75,8 +75,8 @@ def read_ppm(path: str) -> np.ndarray:
     return np.concatenate([rgb, a], axis=-1)
 
 
-def write_png(framebuffer: np.ndarray, path: str) -> None:
-    """Minimal dependency-free PNG writer (RGBA8), for quick viewing."""
+def png_bytes(framebuffer: np.ndarray) -> bytes:
+    """Minimal dependency-free PNG encoder (RGBA8) -> bytes."""
     import struct
     import zlib
 
@@ -94,7 +94,11 @@ def write_png(framebuffer: np.ndarray, path: str) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(framebuffer: np.ndarray, path: str) -> None:
+    """Minimal dependency-free PNG writer (RGBA8), for quick viewing."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(png_bytes(framebuffer))

@@ -1,0 +1,77 @@
+"""HTTP viewer tests: serve a real RenderSession over a loopback socket
+and drive it the way the browser does (frame poll + key moves), mirroring
+the reference GUI's keypress -> move_camera_position -> re-render loop
+(GameView.swift:198-219, 323-334)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from raytracer_tpu import httpviewer
+from raytracer_tpu.api import RenderSession
+from raytracer_tpu.models import default_world_source
+from raytracer_tpu.render import Options
+
+
+@pytest.fixture(scope="module")
+def server():
+    session = RenderSession(default_world_source(), 32, 18,
+                            Options(samples_per_pixel=1, max_ray_bounces=2))
+    httpd = httpviewer.make_server(session, port=0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+class TestViewer:
+    def test_index_page(self, server):
+        status, _, body = _get(server + "/")
+        assert status == 200
+        assert b"keydown" in body and b"/frame.png" in body
+
+    def test_frame_is_png(self, server):
+        status, headers, body = _get(server + "/frame.png")
+        assert status == 200
+        assert headers["Content-Type"] == "image/png"
+        assert body.startswith(b"\x89PNG\r\n\x1a\n")
+
+    def test_move_changes_camera_and_frame(self, server):
+        _, _, before = _get(server + "/frame.png")
+        cam0 = json.loads(_get(server + "/camera")[2])
+        status, resp = _post(server + "/move",
+                             {"dx": 0.0, "dy": 0.0, "dz": -0.5})
+        assert status == 200 and resp["generation"] >= 1
+        cam1 = json.loads(_get(server + "/camera")[2])
+        assert np.allclose(np.array(cam1["origin"]) -
+                           np.array(cam0["origin"]), [0.0, 0.0, -0.5])
+        _, _, after = _get(server + "/frame.png")
+        assert after != before  # dirty-flag re-render happened
+
+    def test_bad_move_rejected(self, server):
+        req = urllib.request.Request(server + "/move", data=b"not json",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+    def test_unknown_path_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(server + "/nope", timeout=30)
+        assert e.value.code == 404
