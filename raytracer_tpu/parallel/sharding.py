@@ -126,6 +126,40 @@ def _sharded_pallas_fn(mesh: Mesh, width: int, height: int,
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_stream_fn(mesh: Mesh, width: int, height: int,
+                       samples_per_pixel: int, depth: int, rows_per: int,
+                       interpret: bool, has_sph_cl: bool):
+    """shard_map'd HBM-streamed kernel: same interleaved row assignment as
+    ``_sharded_pallas_fn`` (device i owns rows i, i+n, ...)."""
+    from ..ops.pallas import wavefront_stream as ws
+
+    n = mesh.shape[RAYS_AXIS]
+    cl_spec = (P(), P()) if has_sph_cl else None
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                  cl_spec),
+        out_specs=(P(RAYS_AXIS), P()),
+        check_vma=False)
+    def run(sph, tri_hbm, leafb, leafn, topb, topr, root, cv, order_keys,
+            seed, sph_cl):
+        row0 = jax.lax.axis_index(RAYS_AXIS).astype(jnp.int32)
+        order, keys = order_keys
+        mean, segs = ws.render_linear_pallas_stream(
+            sph, tri_hbm, leafb, leafn, topb, topr, root, cv,
+            width=width, height=height,
+            samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
+            sph_clusters=sph_cl, top_order=order, top_keys=keys,
+            shard_rows=rows_per, row_offset=row0, row_stride=n,
+            interpret=interpret)
+        return mean, jax.lax.psum(segs, RAYS_AXIS)
+
+    return run
+
+
 def render_linear_sharded_fast(scene: Scene, camera: Camera, *, mesh: Mesh,
                                width: int, height: int,
                                samples_per_pixel: int, depth: int,
@@ -134,29 +168,49 @@ def render_linear_sharded_fast(scene: Scene, camera: Camera, *, mesh: Mesh,
                                interpret: bool = False):
     """Sharded render through the fastest engine (VERDICT round-1 item 1).
 
-    engine "auto" picks the fused Pallas megakernel when it fits (same
-    dispatch rule as ``render_linear_fast``), falling back to the XLA
-    wavefront path.  Returns (mean radiance [H, W, 3], segment count).
-    Note the Pallas path is forward-only; for gradients use
+    engine "auto" picks the fused Pallas megakernel when it fits, the
+    HBM-streamed kernel for big triangle scenes (corrected plane sign),
+    else the XLA wavefront path.  Returns (mean radiance [H, W, 3],
+    segment count).  The Pallas paths are forward-only; for gradients use
     ``render_linear_sharded`` (engine="xla").
     """
     from .. import ops as ops_mod
     if engine == "auto":
-        engine = "pallas" if ops_mod.can_use_pallas(scene) else "xla"
-    if engine != "pallas":
+        if ops_mod.can_use_pallas(scene):
+            engine = "pallas"
+        elif ops_mod.can_use_pallas_stream(scene, parity_plane_sign):
+            engine = "pallas_stream"
+        else:
+            engine = "xla"
+    if engine not in ("pallas", "pallas_stream"):
         return render_linear_sharded(
             scene, camera, mesh=mesh, width=width, height=height,
             samples_per_pixel=samples_per_pixel, depth=depth,
             parity_plane_sign=parity_plane_sign, seed=seed)
     from ..ops.pallas import wavefront as wf
-    sph, tri, sph_cl, tri_cl = ops_mod.scene_tables(scene, parity_plane_sign)
     cv = wf.camera_vec(camera)
     n = mesh.shape[RAYS_AXIS]
     rows_per = pad_to_multiple(height, n) // n
-    run = _sharded_pallas_fn(mesh, width, height, samples_per_pixel, depth,
-                             parity_plane_sign, rows_per, interpret,
-                             sph_cl is not None, tri_cl is not None)
-    mean, segs = run(sph, tri, cv, jnp.uint32(seed), sph_cl, tri_cl)
+    if engine == "pallas_stream":
+        from ..ops.pallas import wavefront_stream as ws
+        (sph, sph_cl, tri_hbm, leafb, leafn,
+         topb, topr, root) = ops_mod.scene_stream_tables(scene)
+        order, keys = ws.sorted_top_order(np.asarray(topb),
+                                          np.asarray(camera.origin))
+        run = _sharded_stream_fn(mesh, width, height, samples_per_pixel,
+                                 depth, rows_per, interpret,
+                                 sph_cl is not None)
+        mean, segs = run(sph, tri_hbm, leafb, leafn, topb, topr, root, cv,
+                         (jnp.asarray(order), jnp.asarray(keys)),
+                         jnp.uint32(seed), sph_cl)
+    else:
+        sph, tri, sph_cl, tri_cl = ops_mod.scene_tables(scene,
+                                                        parity_plane_sign)
+        run = _sharded_pallas_fn(mesh, width, height, samples_per_pixel,
+                                 depth, parity_plane_sign, rows_per,
+                                 interpret, sph_cl is not None,
+                                 tri_cl is not None)
+        mean, segs = run(sph, tri, cv, jnp.uint32(seed), sph_cl, tri_cl)
     # deinterleave: gathered row i*rows_per + k holds global row k*n + i
     mean = mean.reshape(n, rows_per, width, 3).transpose(1, 0, 2, 3)
     return mean.reshape(n * rows_per, width, 3)[:height], segs

@@ -178,3 +178,27 @@ class TestStreamDispatch:
         t2 = ops_mod.scene_stream_tables(scene)
         assert ops_mod.pack_events == n
         assert t1[2] is t2[2]
+
+
+class TestShardedStream:
+    def test_sharded_stream_bitwise_equal(self, mesh_world, stream_tables):
+        import jax
+        from raytracer_tpu import parallel
+        assert len(jax.devices()) >= 8
+        mesh8 = parallel.make_mesh(8)
+        scene, cam = mesh_world
+        sph = jnp.asarray(wf.pack_spheres(scene))
+        tri_hbm, leafb, leafn, topb, topr, root = stream_tables
+        order, keys = ws.sorted_top_order(np.asarray(topb),
+                                          np.asarray(cam.origin))
+        ref, seg_ref = ws.render_linear_pallas_stream(
+            sph, tri_hbm, leafb, leafn, topb, topr, root,
+            wf.camera_vec(cam), width=64, height=48, samples_per_pixel=2,
+            depth=3, interpret=True, top_order=jnp.asarray(order),
+            top_keys=jnp.asarray(keys))
+        got, seg = parallel.render_linear_sharded_fast(
+            scene, cam, mesh=mesh8, width=64, height=48,
+            samples_per_pixel=2, depth=3, engine="pallas_stream",
+            interpret=True)
+        assert np.array_equal(np.asarray(ref), np.asarray(got))
+        assert int(seg_ref) == int(seg)
