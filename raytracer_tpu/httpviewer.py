@@ -89,7 +89,7 @@ class ViewerHandler(BaseHTTPRequestHandler):
         elif path == "/frame.png":
             with self.lock:
                 fb = self.session.frame()
-                gen = ViewerHandler.generation
+                gen = type(self).generation
             self._send(200, "image/png", png_bytes(fb),
                        headers=[("X-Generation", str(gen))])
         elif path == "/camera":
@@ -116,8 +116,11 @@ class ViewerHandler(BaseHTTPRequestHandler):
             return
         with self.lock:
             self.session.move_camera(dx, dy, dz)
-            ViewerHandler.generation += 1
-            gen = ViewerHandler.generation
+            # per-server counter: the BoundHandler subclass (make_server)
+            # owns its own `generation`, so two viewers in one process (or a
+            # restarted test server) don't see each other's counts
+            type(self).generation += 1
+            gen = type(self).generation
         self._send(200, "application/json",
                    json.dumps({"generation": gen}).encode())
 
@@ -127,7 +130,7 @@ class ViewerHandler(BaseHTTPRequestHandler):
 
 def make_server(session: RenderSession, port: int = 8000) -> HTTPServer:
     handler = type("BoundHandler", (ViewerHandler,), {
-        "session": session, "lock": threading.Lock()})
+        "session": session, "lock": threading.Lock(), "generation": 0})
     return HTTPServer(("127.0.0.1", port), handler)
 
 

@@ -50,6 +50,28 @@ def can_use_pallas(scene: Scene) -> bool:
             and pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES)
 
 
+def stream_smem_bytes(scene: Scene) -> int:
+    """Exact SMEM footprint of the streamed kernel: every scalar-prefetch
+    table (at its ACTUAL packed shape — leaf count comes from the median
+    split, not a ceil(n/128) guess) plus the DMA'd leaf scratch.  Uses the
+    same cached tables the render would use, so the gate and the kernel can
+    never disagree."""
+    from .pallas import wavefront_stream as ws
+    (sph, sph_cl, tri_hbm, leafb, leafn,
+     topb, topr, root) = scene_stream_tables(scene)
+    n_tops = topb.shape[1]
+    smem = 4 * (12                              # cam_vec
+                + sph.size                      # sphere table
+                + leafb.size + leafn.size       # leaf bounds + counts
+                + topb.size + topr.size         # top bounds + ranges
+                + 2 * n_tops                    # top_order + top_keys
+                + root.size + 3                 # root bound + seed_arr
+                + ws.TRI_ROWS_PAD * ws.LEAF)    # DMA'd leaf scratch
+    if sph_cl is not None:
+        smem += 4 * (sph_cl[0].size + sph_cl[1].size)
+    return smem
+
+
 def can_use_pallas_stream(scene: Scene, parity_plane_sign: bool) -> bool:
     """The HBM-streamed kernel (wavefront_stream.py) lifts the SMEM cap on
     TRIANGLES: only the sphere table + the two-level bound tree must fit
@@ -58,15 +80,7 @@ def can_use_pallas_stream(scene: Scene, parity_plane_sign: bool) -> bool:
     formula (common.rs:140-141)."""
     if not backend_is_tpu() or parity_plane_sign:
         return False
-    from .pallas import wavefront as wf
-    from .pallas import wavefront_stream as ws
-    n_tris = int(np.sum(np.asarray(scene.tri_valid)))
-    n_leaves = -(-max(n_tris, 1) // ws.LEAF)
-    n_tops = -(-n_leaves // 8)
-    smem = (4 * scene.num_spheres * wf.SPH_ROWS      # sphere table
-            + 4 * ws.LEAF * wf.TRI_ROWS              # DMA'd leaf scratch
-            + 4 * n_leaves * 5 + 4 * n_tops * 6)     # bounds + ranges
-    return smem <= PALLAS_SMEM_BUDGET_BYTES
+    return stream_smem_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES
 
 
 # Host-side scene packing is O(S + T log T) numpy work per call; interactive
@@ -211,6 +225,9 @@ def _render_banded(scene, camera, *, width, height, samples_per_pixel,
         sph, tri, sph_cl, tri_cl = scene_tables(scene, parity_plane_sign)
         cv = wf.camera_vec(camera)
     elif engine == "pallas_stream":
+        if parity_plane_sign:
+            raise ValueError("pallas_stream requires parity_plane_sign="
+                             "False (bound culling soundness)")
         from .pallas import wavefront as wf
         from .pallas import wavefront_stream as ws
         (sph, sph_cl, tri_hbm, leafb, leafn,

@@ -276,7 +276,11 @@ def _make_stream_kernel(width, height, spp, depth, n_spheres, block_rows,
                     oi_safe = jnp.minimum(oi, n_tops - 1)
                     exit_key = jnp.where(is_primary, keys_ref[0, oi_safe],
                                          jnp.float32(-1.0))
-                    return (oi < n_tops) & (jnp.max(relevant_t) > exit_key)
+                    # >= (not >): a node whose entry bound EQUALS t_best can
+                    # still hold a triangle at exactly t == t_best, which
+                    # wins the tie (t <= t_best in _make_tri_body) — keep
+                    # walking so ties resolve identically to the full walk
+                    return (oi < n_tops) & (jnp.max(relevant_t) >= exit_key)
 
                 def walk_body(wst):
                     oi, hs = wst[0], wst[1:]
@@ -344,8 +348,9 @@ def render_linear_pallas_stream(sph_table, tri_hbm, leaf_bounds, leaf_counts,
     top_order/top_keys (from ``sorted_top_order(top_bounds,
     camera.origin)``) enable the primary-bounce front-to-back early exit;
     without them top nodes are visited in table order and the walk never
-    exits early on the primary bounce (identical image either way up to
-    closest-hit ties)."""
+    exits early on the primary bounce (identical image either way — the
+    exit test keeps walking through entry-bound ties, so even exact-tie
+    closest hits resolve like the full walk)."""
     if shard_rows is None:
         shard_rows = height
     ntx = pl.cdiv(width, LANES)

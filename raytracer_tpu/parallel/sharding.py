@@ -182,6 +182,9 @@ def render_linear_sharded_fast(scene: Scene, camera: Camera, *, mesh: Mesh,
             engine = "pallas_stream"
         else:
             engine = "xla"
+    if engine == "pallas_stream" and parity_plane_sign:
+        raise ValueError("pallas_stream requires parity_plane_sign=False "
+                         "(bound culling soundness)")
     if engine not in ("pallas", "pallas_stream"):
         return render_linear_sharded(
             scene, camera, mesh=mesh, width=width, height=height,

@@ -76,14 +76,16 @@ def trace(log_dir: str = "/tmp/raytracer_tpu_trace"):
 
 class ScanlineLogger:
     """The reference's progress logger (common.rs:328-330): writes
-    ``\\rScanline: N`` as row bands complete.  Assign to ``Options.logger``;
-    ``ray_trace`` then renders in row bands (bitwise identical output) and
-    calls ``logger(rows_done, height)`` per band."""
+    ``\\rScanline: {:<4}`` counting DOWN (``height - rows_done``, matching
+    the reference's ``height - row - 1`` at the most recent completed row)
+    as row bands complete.  Assign to ``Options.logger``; ``ray_trace``
+    then renders in row bands (bitwise identical output) and calls
+    ``logger(rows_done, height)`` per band."""
 
     def __init__(self, stream=None):
         import sys
         self.stream = stream if stream is not None else sys.stderr
 
     def __call__(self, rows_done: int, height: int) -> None:
-        self.stream.write(f"\rScanline: {rows_done}")
+        self.stream.write(f"\rScanline: {height - rows_done:<4}")
         self.stream.flush()

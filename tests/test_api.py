@@ -161,5 +161,6 @@ class TestProgressLogger:
         import io
         from raytracer_tpu.utils.profiling import ScanlineLogger
         buf = io.StringIO()
+        # reference format: countdown, left-padded to 4 (common.rs:329)
         ScanlineLogger(buf)(7, 40)
-        assert buf.getvalue() == "\rScanline: 7"
+        assert buf.getvalue() == "\rScanline: 33  "
