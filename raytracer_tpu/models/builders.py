@@ -121,7 +121,8 @@ def random_spheres(n: int = 484, seed: int = 7) -> Tuple[Scene, Camera]:
                 mats.append((DIELECTRIC, (1.0, 1.0, 1.0), 0.0, 1.5))
             spheres.append((center, 0.2, len(mats) - 1))
             count += 1
-    scene = build_scene(spheres, [], build_materials(mats))
+    scene = build_scene(spheres, [], build_materials(mats),
+                        exact_planes=True)
     cam = Camera.new_look_at((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
                              (0.0, 1.0, 0.0), math.radians(20.0), 1.0)
     return scene, cam
@@ -152,7 +153,8 @@ def cornell_spheres() -> Tuple[Scene, Camera]:
         ((-0.45, -box + 0.35, -1.3), 0.35, 4),
         ((0.45, -box + 0.35, -0.9), 0.35, 5),
     ]
-    scene = build_scene(spheres, [], build_materials(mats))
+    scene = build_scene(spheres, [], build_materials(mats),
+                        exact_planes=True)
     cam = Camera.new_with_vertical_fov((0.0, 0.0, 1.4), math.radians(60.0), 1.0)
     return scene, cam
 
@@ -237,7 +239,9 @@ def mesh_scene(subdivisions: int = 3) -> Tuple[Scene, Camera]:
     tris = icosphere_mesh((0.0, 0.0, -1.2), 0.5, 0, subdivisions)
     tris += cube_mesh((-1.1, -0.1, -1.4), 0.25, 2)
     spheres = [((0.0, -100.5, -1.0), 100.0, 1)]
-    scene = build_scene(spheres, tris, build_materials(mats))
+    # procedural mesh: no reference-parity claim -> correct plane equation
+    scene = build_scene(spheres, tris, build_materials(mats),
+                        exact_planes=True)
     cam = Camera.new_at((0.0, 0.0, 0.0), 1.77778)
     return scene, cam
 
@@ -266,6 +270,8 @@ def obj_mesh_scene(n_target_tris: int = 10240) -> Tuple[Scene, Camera]:
                               translate=(0.6, 0.0, -1.4))
     assert len(tris) <= n_target_tris
     spheres = [((0.0, -100.5, -1.0), 100.0, 1)]
-    scene = build_scene(spheres, tris, build_materials(mats))
+    # OBJ-loaded mesh: no reference-parity claim -> correct plane equation
+    scene = build_scene(spheres, tris, build_materials(mats),
+                        exact_planes=True)
     cam = Camera.new_at((0.0, 0.0, 0.0), 1.77778)
     return scene, cam

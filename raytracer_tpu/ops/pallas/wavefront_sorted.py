@@ -1,0 +1,502 @@
+"""Sorted-compaction renderer: per-bounce kernel + ray reordering.
+
+The fused kernels (wavefront.py, wavefront_stream.py) keep the bounce loop
+INSIDE one Pallas launch, so a block's 4096 lanes stay pinned to their
+pixels for the whole trace.  That is ideal while the wavefront is coherent
+(primary rays = a tight frustum per image tile) but collapses on divergent
+diffuse secondaries: the block-granularity bound tests pass for almost
+every leaf once a block's rays point everywhere, and the 164k-tri scene
+drops to ~1 Mray/s at depth 4 (PERFSTUDY r2, VERDICT r2 item 1).
+
+This module restructures the trace the TPU-native way instead of chasing
+per-lane traversal the VPU cannot do:
+
+  * ONE BOUNCE PER LAUNCH — the bounce loop runs in XLA, carrying a flat
+    SoA ray-state batch (13 f32 planes + 2 uint32 id planes) through the
+    kernel;
+  * SORT BETWEEN BOUNCES — surviving rays are reordered by a Morton code
+    of their origin (7 bits/axis over the mesh bounds) + direction octant,
+    so every (block_rows x 128)-lane block the next bounce sees is a
+    spatially tight packet again and the same conservative bound tests
+    cull like they do on primaries.  Dead rays sort to the end, where
+    all-dead blocks exit the walk immediately;
+  * PRIMARY RAYS IN MORTON PIXEL ORDER — bounce 0's blocks are square
+    image tiles (not row stripes), with the camera-sorted front-to-back
+    top walk + early exit of the streamed kernel;
+  * 32-TRIANGLE SUB-LEAVES — the HBM table is laid out as 128-column DMA
+    groups of four 32-triangle sub-leaves, each with its own bounding
+    sphere in SMEM.  Culling granularity shrinks 4x while DMA slices stay
+    (8,128)-tile aligned.
+
+Physics is shared with wavefront.py (_sphere_loop/_make_tri_body/
+_scatter_bookkeep) and the RNG streams are the same pcg3d counters keyed
+on (pixel, sample, bounce), so the image agrees with the other engines to
+float rounding regardless of ray order.  Reference semantics:
+common.rs:263-285 (bounce rules), common.rs:124-166 (triangle test,
+correct-sign plane equation only — same soundness rule as all culling).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...scene import Scene
+from .wavefront import (
+    LANES, TRI_ROWS, BIG, _SEED_MIX, _BOUND_PAD,
+    _bound_test, _make_tri_body, _pcg3d, _scatter_bookkeep,
+    _sphere_loop, _sphere_normals, _median_split_order, pack_triangles,
+)
+from .wavefront_stream import TRI_ROWS_PAD, sorted_top_order
+
+SUB = 32          # triangles per sub-leaf (cull granularity)
+GROUP_SUBS = 4    # sub-leaves per 128-column DMA group
+GROUP = SUB * GROUP_SUBS   # = LANES: one aligned DMA slice
+TOP_GROUPS = 8    # DMA groups per top node (1024 columns)
+
+# ray-state plane indices (f32 planes carried between bounces)
+(_ST_OX, _ST_OY, _ST_OZ, _ST_DX, _ST_DY, _ST_DZ,
+ _ST_TPR, _ST_TPG, _ST_TPB, _ST_RR, _ST_RG, _ST_RB, _ST_ALIVE) = range(13)
+STATE_PLANES = 13
+
+
+# ---------------------------------------------------------------------------
+# Host-side tables
+# ---------------------------------------------------------------------------
+
+def _bounding_sphere(points: np.ndarray):
+    bc = (points.min(axis=0) + points.max(axis=0)) * 0.5
+    br = float(np.max(np.linalg.norm(points - bc, axis=-1)))
+    return bc, br * _BOUND_PAD + 1e-4
+
+
+def build_tri_sorted_tables(scene: Scene):
+    """Sub-leaf-aligned triangle table + 3-level bounds + sort-key box.
+
+    Returns (tri_hbm (TRI_ROWS_PAD, L*SUB) f32, sub_bounds (4, L) f32,
+    sub_counts (1, L) i32, grp_bounds (4, G) f32, top_bounds (4, C) f32,
+    top_ranges (2, C) i32 [group ranges], root (4, 1) f32,
+    key_lo (3,) f32, key_hi (3,) f32).
+
+    Sub-leaves are median-split spatial clusters of <= 32 valid triangles
+    in DFS order, padded to 32 columns with never-hit zeros; L is padded to
+    a GROUP_SUBS multiple so DMA group g always covers sub-leaves
+    [4g, 4g+4).  key_lo/key_hi is the triangle bounding box expanded 25%
+    per side — the quantization box for the inter-bounce Morton sort keys
+    (origins outside clamp to boundary cells, which still separates them
+    in the unclamped axes).
+    """
+    v0 = np.asarray(scene.tri_v0, np.float64)
+    v1 = np.asarray(scene.tri_v1, np.float64)
+    v2 = np.asarray(scene.tri_v2, np.float64)
+    valid = np.asarray(scene.tri_valid)
+    vidx = np.nonzero(valid)[0]
+    cen = (v0 + v1 + v2) / 3.0
+    perm_v, slices = _median_split_order(cen[vidx], SUB)
+    perm_valid = vidx[perm_v]
+    n_sub = max(len(slices), 1)
+    L = -(-n_sub // GROUP_SUBS) * GROUP_SUBS
+    G = L // GROUP_SUBS
+    C = max(-(-G // TOP_GROUPS), 1)
+
+    packed = pack_triangles(scene, perm=np.concatenate(
+        [perm_valid, np.nonzero(~valid)[0]]).astype(np.int64))
+    tri_hbm = np.zeros((TRI_ROWS_PAD, L * SUB), np.float32)
+    sub_bounds = np.zeros((4, L), np.float32)
+    sub_bounds[3] = -1.0
+    sub_counts = np.zeros((1, L), np.int32)
+    sub_verts = [None] * L
+    for k, (s, e) in enumerate(slices or [(0, 0)]):
+        n = e - s
+        tri_hbm[:TRI_ROWS, k * SUB:k * SUB + n] = packed[:, s:e]
+        sub_counts[0, k] = n
+        if n == 0:
+            continue
+        mem = perm_valid[s:e]
+        verts = np.concatenate([v0[mem], v1[mem], v2[mem]], axis=0)
+        sub_verts[k] = verts
+        bc, br = _bounding_sphere(verts)
+        sub_bounds[0:3, k] = bc
+        sub_bounds[3, k] = br * br
+
+    def union_bound(child_bounds, members):
+        """Bounding sphere of a set of child bounding spheres."""
+        cs = child_bounds[0:3, members]
+        bc = (cs.min(axis=1) + cs.max(axis=1)) * 0.5
+        br = 0.0
+        for m in members:
+            d = float(np.linalg.norm(child_bounds[0:3, m] - bc))
+            br = max(br, d + float(np.sqrt(child_bounds[3, m])))
+        return bc, br * _BOUND_PAD + 1e-4
+
+    grp_bounds = np.zeros((4, G), np.float32)
+    grp_bounds[3] = -1.0
+    for g in range(G):
+        members = [m for m in range(g * GROUP_SUBS, (g + 1) * GROUP_SUBS)
+                   if sub_counts[0, m] > 0]
+        if not members:
+            continue
+        bc, br = union_bound(sub_bounds, members)
+        grp_bounds[0:3, g] = bc
+        grp_bounds[3, g] = br * br
+
+    top_bounds = np.zeros((4, C), np.float32)
+    top_bounds[3] = -1.0
+    top_ranges = np.zeros((2, C), np.int32)
+    for c in range(C):
+        g0, g1 = c * TOP_GROUPS, min((c + 1) * TOP_GROUPS, G)
+        top_ranges[0, c], top_ranges[1, c] = g0, g1
+        members = [m for m in range(g0, g1) if grp_bounds[3, m] > 0]
+        if not members:
+            continue
+        bc, br = union_bound(grp_bounds, members)
+        top_bounds[0:3, c] = bc
+        top_bounds[3, c] = br * br
+
+    root = np.zeros((4, 1), np.float32)
+    root[3] = -1.0
+    live = [m for m in range(G) if grp_bounds[3, m] > 0]
+    if live:
+        bc, br = union_bound(grp_bounds, live)
+        root[0:3, 0] = bc
+        root[3, 0] = br * br
+
+    if len(vidx):
+        verts = np.concatenate(
+            [v0[vidx], v1[vidx], v2[vidx]], axis=0)
+        lo = verts.min(axis=0)
+        hi = verts.max(axis=0)
+        pad = 0.25 * np.maximum(hi - lo, 1e-3)
+        key_lo = (lo - pad).astype(np.float32)
+        key_hi = (hi + pad).astype(np.float32)
+    else:
+        key_lo = np.full(3, -1.0, np.float32)
+        key_hi = np.full(3, 1.0, np.float32)
+    return (tri_hbm, sub_bounds, sub_counts, grp_bounds, top_bounds,
+            top_ranges, root, key_lo, key_hi)
+
+
+# ---------------------------------------------------------------------------
+# Morton helpers (jnp, used both for primary pixel order and sort keys)
+# ---------------------------------------------------------------------------
+
+def _part1by2(x):
+    """Spread the low 10 bits of x over every 3rd bit (3D Morton)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _compact1by1(x):
+    """Extract the even bits of x (inverse of 2D Morton interleave)."""
+    x = x & 0x55555555
+    x = (x | (x >> 1)) & 0x33333333
+    x = (x | (x >> 2)) & 0x0F0F0F0F
+    x = (x | (x >> 4)) & 0x00FF00FF
+    x = (x | (x >> 8)) & 0x0000FFFF
+    return x
+
+
+def _u01_jnp(bits):
+    """XLA-side twin of wavefront._u01 — identical bits, identical float."""
+    b24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
+    i = jax.lax.bitcast_convert_type(b24, jnp.int32)
+    return i.astype(jnp.float32) * jnp.float32(1.0 / 16777215.0)
+
+
+def _sort_keys(state, key_lo, key_hi):
+    """Coherence keys for the inter-bounce sort: Morton(origin) * 8 +
+    direction octant; dead rays get +inf-like keys and sink to the end."""
+    ox, oy, oz = state[_ST_OX], state[_ST_OY], state[_ST_OZ]
+    dx, dy, dz = state[_ST_DX], state[_ST_DY], state[_ST_DZ]
+    alive = state[_ST_ALIVE] > 0.5
+    span = jnp.maximum(key_hi - key_lo, 1e-6)
+
+    def q(v, a):
+        cell = (v - key_lo[a]) / span[a] * jnp.float32(128.0)
+        return jnp.clip(cell, 0.0, 127.0).astype(jnp.int32)
+
+    mort = ((_part1by2(q(ox, 0)) << 2) | (_part1by2(q(oy, 1)) << 1)
+            | _part1by2(q(oz, 2)))
+    octant = ((dx < 0).astype(jnp.int32) * 4
+              + (dy < 0).astype(jnp.int32) * 2
+              + (dz < 0).astype(jnp.int32))
+    key = mort * 8 + octant
+    return jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
+
+
+# ---------------------------------------------------------------------------
+# The per-bounce kernel
+# ---------------------------------------------------------------------------
+
+def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
+                        use_exit):
+    """One bounce for a (block_rows x 128)-ray block: sphere loop +
+    sub-leaf streamed triangle walk + scatter.  ``use_exit`` statically
+    enables the front-to-back early exit (valid only when every live ray
+    shares the origin the keys were sorted from — bounce 0)."""
+    R = block_rows
+
+    def kernel(sph_ref, sphc_b_ref, sphc_r_ref, subb_ref, subn_ref,
+               grpb_ref, topb_ref, topr_ref, order_ref, keys_ref, root_ref,
+               binfo_ref, state_ref, ids_ref, tri_hbm, out_ref, tri_smem,
+               dma_sem):
+        b = binfo_ref[0]
+        ox = state_ref[_ST_OX]
+        oy = state_ref[_ST_OY]
+        oz = state_ref[_ST_OZ]
+        dx = state_ref[_ST_DX]
+        dy = state_ref[_ST_DY]
+        dz = state_ref[_ST_DZ]
+        tpr = state_ref[_ST_TPR]
+        tpg = state_ref[_ST_TPG]
+        tpb = state_ref[_ST_TPB]
+        rr = state_ref[_ST_RR]
+        rg = state_ref[_ST_RG]
+        rb = state_ref[_ST_RB]
+        alive_f = state_ref[_ST_ALIVE]
+        alive = alive_f > 0.5
+        pix_u = ids_ref[0]
+        s_u = ids_ref[1]
+
+        zero = jnp.zeros((R, LANES), jnp.float32)
+        one = jnp.ones((R, LANES), jnp.float32)
+
+        hs0 = (jnp.full((R, LANES), BIG),
+               zero, zero, one,
+               zero, zero, zero, zero,
+               zero, one)
+        hs = _sphere_loop(sph_ref, sphc_b_ref, sphc_r_ref, n_spheres,
+                          n_sph_clusters, ox, oy, oz, dx, dy, dz, alive, hs0)
+        hs, _ = _sphere_normals(ox, oy, oz, dx, dy, dz, hs)
+
+        tri_body = _make_tri_body(lambda row, i: tri_smem[row, i], False,
+                                  ox, oy, oz, dx, dy, dz)
+        root_p = _bound_test(root_ref, 0, ox, oy, oz, dx, dy, dz,
+                             jnp.full((R, LANES), BIG), alive)
+
+        def grp_body(g, hs):
+            t_best = hs[0]
+            possible = _bound_test(grpb_ref, g, ox, oy, oz, dx, dy, dz,
+                                   t_best, alive)
+            any_g = jnp.max(jnp.where(possible, 1.0, 0.0))
+
+            @pl.when(any_g > 0.0)
+            def _():
+                dma = pltpu.make_async_copy(
+                    tri_hbm.at[:, pl.ds(g * GROUP, GROUP)],
+                    tri_smem, dma_sem)
+                dma.start()
+                dma.wait()
+
+            def sub_body(k, hs):
+                li = g * GROUP_SUBS + k
+                psub = _bound_test(subb_ref, li, ox, oy, oz, dx, dy, dz,
+                                   hs[0], alive)
+                any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
+                n = jnp.where((any_s > 0.0) & (any_g > 0.0),
+                              subn_ref[0, li], 0)
+                return jax.lax.fori_loop(k * SUB, k * SUB + n, tri_body, hs)
+
+            return jax.lax.fori_loop(0, GROUP_SUBS, sub_body, hs)
+
+        def walk_cond(wst):
+            oi, hs = wst[0], wst[1:]
+            t_best = hs[0]
+            relevant_t = jnp.where(root_p, t_best, -BIG)
+            if use_exit:
+                oi_safe = jnp.minimum(oi, n_tops - 1)
+                # >= keeps entry-bound ties walking so exact-tie closest
+                # hits resolve like the full walk (wavefront_stream.py)
+                return ((oi < n_tops)
+                        & (jnp.max(relevant_t) >= keys_ref[0, oi_safe]))
+            return ((oi < n_tops)
+                    & (jnp.max(relevant_t) >= jnp.float32(-1.0)))
+
+        def walk_body(wst):
+            oi, hs = wst[0], wst[1:]
+            ci = order_ref[0, oi]
+            possible = _bound_test(topb_ref, ci, ox, oy, oz, dx, dy, dz,
+                                   hs[0], alive)
+            any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
+            g0 = jnp.where(any_p > 0.0, topr_ref[0, ci], 0)
+            g1 = jnp.where(any_p > 0.0, topr_ref[1, ci], 0)
+            hs = jax.lax.fori_loop(g0, g1, grp_body, hs)
+            return (oi + 1,) + hs
+
+        wst = jax.lax.while_loop(walk_cond, walk_body,
+                                 (jnp.int32(0),) + hs)
+        hs = wst[1:]
+        t_best = hs[0]
+        hpx = ox + t_best * dx
+        hpy = oy + t_best * dy
+        hpz = oz + t_best * dz
+
+        (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb,
+         alive_f, _seg) = _scatter_bookkeep(
+            pix_u, s_u, b, ox, oy, oz, dx, dy, dz, hpx, hpy, hpz,
+            hs, tpr, tpg, tpb, rr, rg, rb, alive, zero)
+
+        out_ref[_ST_OX] = ox
+        out_ref[_ST_OY] = oy
+        out_ref[_ST_OZ] = oz
+        out_ref[_ST_DX] = dx
+        out_ref[_ST_DY] = dy
+        out_ref[_ST_DZ] = dz
+        out_ref[_ST_TPR] = tpr
+        out_ref[_ST_TPG] = tpg
+        out_ref[_ST_TPB] = tpb
+        out_ref[_ST_RR] = rr
+        out_ref[_ST_RG] = rg
+        out_ref[_ST_RB] = rb
+        out_ref[_ST_ALIVE] = alive_f
+
+    return kernel
+
+
+def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
+                 interpret):
+    """Launch one bounce over (STATE_PLANES, rows, LANES) state."""
+    (sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
+     root, tri_hbm) = tables
+    rows = state3.shape[1]
+    nblocks = rows // block_rows
+    n_spheres = sph.shape[1]
+    n_sph_clusters = 0 if sphc_b is None else sphc_b.shape[1]
+    if sphc_b is None:
+        sphc_b = jnp.zeros((4, 1), jnp.float32)
+        sphc_r = jnp.zeros((2, 1), jnp.int32)
+    n_tops = topb.shape[1]
+
+    kernel = _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops,
+                                 block_rows, use_exit)
+    binfo = jnp.asarray(b, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=12,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((STATE_PLANES, block_rows, LANES),
+                         lambda i, *prefetch: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, block_rows, LANES),
+                         lambda i, *prefetch: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # tri table in HBM
+        ],
+        out_specs=pl.BlockSpec((STATE_PLANES, block_rows, LANES),
+                               lambda i, *prefetch: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((TRI_ROWS_PAD, GROUP), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((STATE_PLANES, rows, LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
+      root, binfo, state3, ids3, tri_hbm)
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "samples_per_pixel", "depth",
+                     "block_rows", "interpret"))
+def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
+                                grp_bounds, top_bounds, top_ranges,
+                                root_bound, key_lo, key_hi, cam_vec, *,
+                                width, height, samples_per_pixel, depth,
+                                seed=0, block_rows=8, interpret=False,
+                                sph_clusters=None, top_order=None,
+                                top_keys=None):
+    """Mean linear radiance [H, W, 3] + segment count via the sorted
+    per-bounce pipeline.  Table args come from pack_spheres +
+    build_tri_sorted_tables; top_order/top_keys from
+    ``sorted_top_order(top_bounds, camera.origin)`` drive the bounce-0
+    front-to-back early exit.  Always the CORRECT plane equation."""
+    spp = samples_per_pixel
+    side = 1 << max(int(max(width, height)) - 1, 1).bit_length()
+    npix_m = side * side
+    block = block_rows * LANES
+    N = -(-npix_m * spp // block) * block
+    rows_total = N // LANES
+    n_tops = top_bounds.shape[1]
+    if top_order is None:
+        top_order = jnp.arange(n_tops, dtype=jnp.int32).reshape(1, -1)
+        top_keys = jnp.full((1, n_tops), -jnp.inf, jnp.float32)
+    if sph_clusters is None:
+        sphc_b = sphc_r = None
+    else:
+        sphc_b, sphc_r = sph_clusters
+
+    # ---- primary rays, Morton pixel order ----
+    ridx = jnp.arange(N, dtype=jnp.int32)
+    m = ridx // spp
+    s = ridx % spp
+    col = _compact1by1(m)
+    row = _compact1by1(m >> 1)
+    active = (row < height) & (col < width) & (m < npix_m)
+    rowc = jnp.minimum(row, height - 1)
+    colc = jnp.minimum(col, width - 1)
+    pix = rowc * width + colc
+    seed_word = jnp.uint32(seed) * _SEED_MIX
+    pix_u = pix.astype(jnp.uint32) + seed_word
+    s_u = s.astype(jnp.uint32)
+
+    ju, jv, _ = _pcg3d(pix_u, s_u, jnp.uint32(0))
+    u = (colc.astype(jnp.float32) + _u01_jnp(ju)) / jnp.float32(width - 1)
+    v = (rowc.astype(jnp.float32) + _u01_jnp(jv)) / jnp.float32(height - 1)
+    o = cam_vec[0:3]
+    dvx = cam_vec[3] + u * cam_vec[6] + v * cam_vec[9] - o[0]
+    dvy = cam_vec[4] + u * cam_vec[7] + v * cam_vec[10] - o[1]
+    dvz = cam_vec[5] + u * cam_vec[8] + v * cam_vec[11] - o[2]
+    dlen = jnp.sqrt(dvx * dvx + dvy * dvy + dvz * dvz)
+
+    onep = jnp.ones((N,), jnp.float32)
+    zerop = jnp.zeros((N,), jnp.float32)
+    state = jnp.stack([
+        jnp.broadcast_to(o[0], (N,)), jnp.broadcast_to(o[1], (N,)),
+        jnp.broadcast_to(o[2], (N,)),
+        dvx / dlen, dvy / dlen, dvz / dlen,
+        onep, onep, onep, zerop, zerop, zerop,
+        jnp.where(active, 1.0, 0.0)])
+    ids = jnp.stack([pix_u, s_u])
+
+    tables_fixed = (sph_table, sphc_b, sphc_r, sub_bounds, sub_counts,
+                    grp_bounds, top_bounds, top_ranges)
+    segments = jnp.float32(0.0)
+    for b in range(depth):
+        segments = segments + jnp.sum(state[_ST_ALIVE])
+        st3 = state.reshape(STATE_PLANES, rows_total, LANES)
+        id3 = ids.reshape(2, rows_total, LANES)
+        tables = tables_fixed + (top_order, top_keys, root_bound, tri_hbm)
+        st3 = _bounce_call(st3, id3, b, tables, block_rows=block_rows,
+                           use_exit=(b == 0), interpret=interpret)
+        state = st3.reshape(STATE_PLANES, N)
+        if b < depth - 1:
+            order = jnp.argsort(_sort_keys(state, key_lo, key_hi))
+            state = state[:, order]
+            ids = ids[:, order]
+
+    pix_final = (ids[0] - seed_word).astype(jnp.int32)
+    rgb = jnp.stack([state[_ST_RR], state[_ST_RG], state[_ST_RB]], axis=-1)
+    img_sum = jnp.zeros((height * width, 3), jnp.float32).at[
+        pix_final].add(rgb)
+    mean = img_sum.reshape(height, width, 3) * (1.0 / spp)
+    return mean, segments

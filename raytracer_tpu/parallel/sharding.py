@@ -163,25 +163,24 @@ def _sharded_stream_fn(mesh: Mesh, width: int, height: int,
 def render_linear_sharded_fast(scene: Scene, camera: Camera, *, mesh: Mesh,
                                width: int, height: int,
                                samples_per_pixel: int, depth: int,
-                               parity_plane_sign: bool = True,
+                               parity_plane_sign: bool | None = None,
                                seed: int = 0, engine: str = "auto",
                                interpret: bool = False):
     """Sharded render through the fastest engine (VERDICT round-1 item 1).
 
     engine "auto" picks the fused Pallas megakernel when it fits, the
     HBM-streamed kernel for big triangle scenes (corrected plane sign),
-    else the XLA wavefront path.  Returns (mean radiance [H, W, 3],
+    else the XLA wavefront path.  ``parity_plane_sign=None`` resolves per
+    scene (ops.resolve_dispatch).  Returns (mean radiance [H, W, 3],
     segment count).  The Pallas paths are forward-only; for gradients use
     ``render_linear_sharded`` (engine="xla").
     """
     from .. import ops as ops_mod
-    if engine == "auto":
-        if ops_mod.can_use_pallas(scene):
-            engine = "pallas"
-        elif ops_mod.can_use_pallas_stream(scene, parity_plane_sign):
-            engine = "pallas_stream"
-        else:
-            engine = "xla"
+    engine, parity_plane_sign, warning = ops_mod.resolve_dispatch(
+        scene, parity_plane_sign, engine)
+    if warning is not None:
+        import warnings
+        warnings.warn(warning, stacklevel=2)
     if engine == "pallas_stream" and parity_plane_sign:
         raise ValueError("pallas_stream requires parity_plane_sign=False "
                          "(bound culling soundness)")

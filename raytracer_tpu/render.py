@@ -71,7 +71,10 @@ class Options:
     samples_per_pixel: int = 32     # default, common.rs:311
     max_ray_bounces: int = 8        # default, common.rs:312
     positive_is_up: bool = True
-    parity_plane_sign: bool = True  # reproduce common.rs:140-141 (see intersect)
+    # None = resolve per scene (ops.resolve_dispatch): reference scenes
+    # reproduce common.rs:140-141, OBJ/procedural scenes use the correct
+    # plane equation (and so stay on the fast culling engines)
+    parity_plane_sign: Optional[bool] = None
     seed: int = rng.DEFAULT_SEED
     engine: str = "auto"            # "auto" | "pallas" | "xla"
     logger: Optional[Callable[[int, int], None]] = None

@@ -72,6 +72,14 @@ class Scene:
 
     materials: Materials
 
+    # Static metadata: True for scenes with NO reference-parity claim (OBJ /
+    # procedural meshes), where the CORRECT triangle plane equation is the
+    # right default.  Reference scenes keep False so parity renders keep the
+    # wrong-sign formula (common.rs:140-141).  Engine dispatch reads this
+    # when ``parity_plane_sign=None`` (ops.resolve_dispatch).
+    exact_planes: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
     @property
     def num_spheres(self) -> int:
         return self.sphere_center.shape[0]
@@ -100,12 +108,15 @@ def build_scene(
     *,
     pad_spheres_to: int | None = None,
     pad_triangles_to: int | None = None,
+    exact_planes: bool = False,
 ) -> Scene:
     """Build a Scene from host-side primitive lists.
 
     spheres: (center, radius, material_index) triples (parser.rs:237-269).
     triangles: (v0, v1, v2, material_index) (parser.rs:272-310).
     Padding rows are marked invalid and never hit.
+    ``exact_planes``: mark the scene as having no reference-parity claim
+    (see Scene.exact_planes).
     """
     ns = len(spheres)
     nt = len(triangles)
@@ -138,6 +149,7 @@ def build_scene(
         tri_v0=jnp.asarray(t0), tri_v1=jnp.asarray(t1), tri_v2=jnp.asarray(t2),
         tri_mat=jnp.asarray(tm), tri_valid=jnp.asarray(tv),
         materials=materials,
+        exact_planes=exact_planes,
     )
 
 

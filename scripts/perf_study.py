@@ -31,7 +31,15 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def marginal(fn, k=4, trials=2):
+def marginal(fn, k=4, trials=2, retries=3):
+    """Per-call device time: min over trials of (t(2k)-t(k))/k.
+
+    A non-positive marginal (t(2k) <= t(k)) means the workload is below
+    timer/dispatch noise — it is REJECTED and retried, never clamped: a
+    clamp would fabricate an arbitrarily high throughput (the round-2
+    argmin study recorded 262 Trays/s that way).  Raises if every trial is
+    noise — the caller must add per-call work (more REPS), not publish it.
+    """
     import jax
     jax.block_until_ready(fn(0))
 
@@ -41,8 +49,18 @@ def marginal(fn, k=4, trials=2):
         jax.block_until_ready(outs)
         return time.perf_counter() - t0
 
-    return min(max(batch(2 * k, 1000 * t + 500) - batch(k, 1000 * t), 1e-9)
-               / k for t in range(trials))
+    vals = []
+    for t in range(trials + retries):
+        if len(vals) >= trials:
+            break
+        d = batch(2 * k, 1000 * t + 500) - batch(k, 1000 * t)
+        if d > 0.0:
+            vals.append(d / k)
+    if not vals:
+        raise RuntimeError(
+            "non-positive marginal in every trial: per-call work is below "
+            "timer noise; increase k or the per-call workload")
+    return min(vals)
 
 
 def study_tile():
@@ -84,28 +102,36 @@ def study_argmin():
     o, d = cam.cast_rays(u, v)
 
     # one closest-hit over 65k rays is sub-ms — loop it REPS times inside
-    # one jit call so dispatch jitter can't swamp the measurement
-    REPS = 64
-
-    def looped(hit_fn):
+    # one jit call so dispatch jitter can't swamp the measurement.  REPS is
+    # CALIBRATED: doubled until a single blocked call takes >= 50 ms, so
+    # the t(2k)-t(k) marginal is far above timer noise (the round-2 study
+    # shipped a clamped non-positive marginal at REPS=64; see ``marginal``)
+    def looped(hit_fn, reps):
         @jax.jit
         def f(o, d):
             def body(i, acc):
                 h = hit_fn(o + i * 1e-9, d, scene, pack)
                 return acc + jnp.where(h.hit, h.t, 0.0).sum()
-            return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
         return f
 
+    probe = looped(intersect.closest_hit_batch_argmin, 64)
+    jax.block_until_ready(probe(o, d))
+    t0 = time.perf_counter()
+    jax.block_until_ready(probe(o + 1e-9, d))
+    t64 = time.perf_counter() - t0
+    REPS = 64 * max(1, min(1024, int(0.05 / max(t64, 1e-6)) + 1))
+
     fns = {
-        "scan_with_select": looped(intersect.closest_hit_batch),
-        "argmin_gather": looped(intersect.closest_hit_batch_argmin),
+        "scan_with_select": looped(intersect.closest_hit_batch, REPS),
+        "argmin_gather": looped(intersect.closest_hit_batch_argmin, REPS),
     }
     out = []
     for name, fn in fns.items():
         def run(s, fn=fn):
             return fn(o + s * 1e-9, d)
-        dt = marginal(run) / REPS
-        out.append({"formulation": name, "us": dt * 1e6,
+        dt = marginal(run, k=2) / REPS
+        out.append({"formulation": name, "reps": REPS, "us": dt * 1e6,
                     "mrays_per_s": n / dt / 1e6})
     return {"study": "argmin",
             "decision": "scan-with-select winning-attribute planes "

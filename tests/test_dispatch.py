@@ -1,0 +1,65 @@
+"""Engine-dispatch decision table (ops.resolve_dispatch).
+
+Pins VERDICT r2 weak #6: big OBJ/procedural meshes must not silently fall
+~100x off the kernel path under default options.  ``tpu=True`` forces the
+TPU decision branch so the table is testable on the CPU backend.
+"""
+
+import warnings
+
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu import ops
+from raytracer_tpu.models.builders import icosphere_mesh
+from raytracer_tpu.scene import DIFFUSE, METAL, build_materials, build_scene
+
+
+def big_mesh_scene(exact_planes=True):
+    """20480-tri icosphere: over the SMEM kernel's triangle budget."""
+    tris = icosphere_mesh((0.0, 0.0, -1.2), 0.5, 0, 5)
+    mats = build_materials([(DIFFUSE, (0.7, 0.3, 0.3), 0.0, 1.0),
+                            (METAL, (0.8, 0.8, 0.8), 0.1, 1.0)])
+    return build_scene([((0.0, -100.5, -1.0), 100.0, 1)], tris, mats,
+                       exact_planes=exact_planes)
+
+
+class TestResolveDispatch:
+    def test_reference_scene_keeps_parity_sign(self, default_world):
+        scene = default_world.to_scene()
+        assert not scene.exact_planes
+        engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True)
+        assert (engine, pps, warn) == ("pallas", True, None)
+
+    def test_procedural_scene_resolves_exact_planes(self):
+        scene, _ = rt.models.mesh_scene(subdivisions=2)
+        assert scene.exact_planes
+        engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True)
+        assert (engine, pps, warn) == ("pallas", False, None)
+
+    def test_big_mesh_defaults_to_streamed_kernel(self):
+        scene = big_mesh_scene()
+        engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True)
+        assert (engine, pps, warn) == ("pallas_stream", False, None)
+
+    def test_big_mesh_explicit_parity_warns_loudly(self):
+        # honoring an explicit parity_plane_sign=True costs ~100x: the
+        # dispatch must say so instead of silently using the XLA path
+        scene = big_mesh_scene(exact_planes=False)
+        engine, pps, warn = ops.resolve_dispatch(scene, True, tpu=True)
+        assert engine == "xla" and pps is True
+        assert warn is not None and "parity_plane_sign" in warn
+
+    def test_cpu_backend_uses_xla_without_warning(self):
+        scene = big_mesh_scene()
+        engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=False)
+        assert (engine, pps, warn) == ("xla", False, None)
+
+    def test_explicit_engine_is_respected(self):
+        scene, _ = rt.models.mesh_scene(subdivisions=2)
+        engine, pps, _ = ops.resolve_dispatch(scene, None, engine="xla",
+                                              tpu=True)
+        assert engine == "xla" and pps is False
+
+    def test_options_default_is_auto(self):
+        assert rt.Options().parity_plane_sign is None
