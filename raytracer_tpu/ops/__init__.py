@@ -31,6 +31,13 @@ PALLAS_SMEM_BUDGET_BYTES = 970_828
 CLUSTER_MIN_SPHERES = 64
 CLUSTER_MIN_TRIS = 64
 
+# triangle count at which auto-dispatch prefers the sorted per-bounce
+# engine over the fused megakernels (measured crossover: the in-kernel
+# bounce loop wins on small scenes where the whole table scans in SMEM;
+# the sorted pipeline wins once divergent secondaries dominate the walk —
+# see PERFSTUDY.json "sorted" study)
+SORTED_MIN_TRIS = 2048
+
 
 def backend_is_tpu() -> bool:
     try:
@@ -128,6 +135,58 @@ def scene_tables(scene: Scene, parity_plane_sign: bool):
     return tables
 
 
+def scene_sorted_tables(scene: Scene):
+    """Packed tables for the sorted per-bounce engine, cached on scene
+    identity: (sph_table, sph_clusters, tri_hbm, sub_bounds, sub_counts,
+    grp_bounds, top_bounds, top_ranges, root, key_lo, key_hi)."""
+    global pack_events
+    key = (id(scene), "sorted")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0]() is scene:
+        return hit[1]
+    from .pallas import wavefront as wf
+    from .pallas import wavefront_sorted as wso
+    pack_events += 1
+    sph_perm = None
+    sph_cl = None
+    if int(np.sum(np.asarray(scene.sphere_valid))) >= CLUSTER_MIN_SPHERES:
+        sph_perm, b, rg = wf.cluster_spheres(scene)
+        sph_cl = (jnp.asarray(b), jnp.asarray(rg))
+    sph = jnp.asarray(wf.pack_spheres(scene, perm=sph_perm))
+    sorted_t = tuple(jnp.asarray(t)
+                     for t in wso.build_tri_sorted_tables(scene))
+    tables = (sph, sph_cl) + sorted_t
+    _TABLE_CACHE[key] = (weakref.ref(scene), tables)
+    return tables
+
+
+def sorted_smem_bytes(scene: Scene) -> int:
+    """Exact SMEM footprint of the sorted per-bounce kernel's
+    scalar-prefetch tables + DMA scratch (same contract as
+    ``stream_smem_bytes``)."""
+    from .pallas import wavefront_stream as ws
+    from .pallas import wavefront_sorted as wso
+    (sph, sph_cl, tri_hbm, subb, subn, grpb, topb, topr,
+     root, _klo, _khi) = scene_sorted_tables(scene)
+    n_tops = topb.shape[1]
+    smem = 4 * (sph.size + subb.size + subn.size + grpb.size
+                + topb.size + topr.size
+                + 2 * n_tops                    # top_order + top_keys
+                + root.size + 1                 # root + binfo
+                + ws.TRI_ROWS_PAD * wso.GROUP)  # DMA'd group scratch
+    if sph_cl is not None:
+        smem += 4 * (sph_cl[0].size + sph_cl[1].size)
+    return smem
+
+
+def can_use_pallas_sorted(scene: Scene, parity_plane_sign: bool) -> bool:
+    """The sorted per-bounce engine (wavefront_sorted.py): correct plane
+    equation only (all culling), sub-leaf bound tables must fit SMEM."""
+    if not backend_is_tpu() or parity_plane_sign:
+        return False
+    return sorted_smem_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES
+
+
 def scene_stream_tables(scene: Scene):
     """Packed tables for the HBM-streamed kernel, cached on scene identity:
     (sph_table, sph_clusters, tri_hbm, leaf_bounds, leaf_counts,
@@ -171,7 +230,11 @@ def resolve_dispatch(scene: Scene, parity_plane_sign, engine: str = "auto",
         parity_plane_sign = not scene.exact_planes
     warning = None
     if engine == "auto":
-        if tpu and pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES:
+        n_tris = int(np.sum(np.asarray(scene.tri_valid)))
+        if (tpu and not parity_plane_sign and n_tris >= SORTED_MIN_TRIS
+                and sorted_smem_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES):
+            engine = "pallas_sorted"
+        elif tpu and pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES:
             engine = "pallas"
         elif (tpu and not parity_plane_sign
               and stream_smem_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES):
@@ -196,10 +259,11 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
                        engine: str = "auto", progress=None):
     """Mean linear radiance [H, W, 3] + segment count, fastest engine.
 
-    engine: "auto" | "pallas" | "pallas_stream" | "xla".  "auto" picks the
-    SMEM-resident megakernel when the scene fits scalar memory, the
-    HBM-streamed kernel for big triangle scenes (corrected plane sign
-    only), else the XLA wavefront path.
+    engine: "auto" | "pallas" | "pallas_sorted" | "pallas_stream" | "xla".
+    "auto" picks the sorted per-bounce engine for triangle-heavy scenes
+    (corrected plane sign only), the SMEM-resident megakernel when the
+    scene fits scalar memory, the HBM-streamed fused kernel as the big-mesh
+    fallback, else the XLA wavefront path.
 
     parity_plane_sign: None (default) resolves per scene — see
     ``resolve_dispatch``.
@@ -231,6 +295,23 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
             parity_plane_sign=parity_plane_sign,
             sph_clusters=sph_cl, tri_clusters=tri_cl)
         return mean, segs
+    if engine == "pallas_sorted":
+        if parity_plane_sign:
+            raise ValueError("pallas_sorted requires parity_plane_sign="
+                             "False (bound culling soundness)")
+        from .pallas import wavefront as wf
+        from .pallas import wavefront_sorted as wso
+        (sph, sph_cl, tri_hbm, subb, subn, grpb, topb, topr,
+         root, klo, khi) = scene_sorted_tables(scene)
+        cv = wf.camera_vec(camera)
+        order, keys = wso.sorted_top_order(np.asarray(topb),
+                                           np.asarray(camera.origin))
+        return wso.render_linear_pallas_sorted(
+            sph, tri_hbm, subb, subn, grpb, topb, topr, root, klo, khi,
+            cv, width=width, height=height,
+            samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
+            sph_clusters=sph_cl, top_order=jnp.asarray(order),
+            top_keys=jnp.asarray(keys))
     if engine == "pallas_stream":
         if parity_plane_sign:
             raise ValueError("pallas_stream requires parity_plane_sign="
@@ -258,6 +339,11 @@ def _render_banded(scene, camera, *, width, height, samples_per_pixel,
     """Row-banded render for progress reporting (max 16 equal bands; the
     tail band reuses the same compiled shape via dead-lane padding)."""
     band = max(1, -(-height // 16))
+    if engine == "pallas_sorted":
+        # the sorted pipeline renders morton-ordered whole frames — row
+        # banding would defeat the reordering; the streamed fused kernel
+        # is the banded big-mesh engine
+        engine = "pallas_stream"
     if engine == "pallas":
         from .pallas import wavefront as wf
         sph, tri, sph_cl, tri_cl = scene_tables(scene, parity_plane_sign)

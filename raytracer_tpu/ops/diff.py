@@ -75,6 +75,8 @@ def pack_triangles_jnp(scene: Scene) -> jax.Array:
     mat = scene.tri_mat
     kind = scene.materials.kind.astype(jnp.float32)[mat]
     alb = scene.materials.color.astype(jnp.float32)[mat]
+    fuzz = scene.materials.fuzz.astype(jnp.float32)[mat]
+    ir = scene.materials.ir.astype(jnp.float32)[mat]
     n = jnp.cross(v1 - v0, v2 - v0)
     d = jnp.einsum("ij,ij->i", n, v0)
     g0 = jnp.cross(n, v1 - v0)
@@ -83,15 +85,13 @@ def pack_triangles_jnp(scene: Scene) -> jax.Array:
     w0 = jnp.einsum("ij,ij->i", v0, g0)
     w1 = jnp.einsum("ij,ij->i", v1, g1)
     w2 = jnp.einsum("ij,ij->i", v2, g2)
-    ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    un = n / jnp.where(ln == 0.0, 1.0, ln)
+    extra = jnp.where(kind == 1.0, fuzz, jnp.where(kind == 2.0, ir, 0.0))
     rows = jnp.stack([
         n[:, 0], n[:, 1], n[:, 2], d,
         g0[:, 0], g0[:, 1], g0[:, 2], w0,
         g1[:, 0], g1[:, 1], g1[:, 2], w1,
         g2[:, 0], g2[:, 1], g2[:, 2], w2,
-        un[:, 0], un[:, 1], un[:, 2],
-        kind, alb[:, 0], alb[:, 1], alb[:, 2],
+        kind, extra, alb[:, 0], alb[:, 1], alb[:, 2],
     ])
     return jnp.where(valid[None, :], rows, 0.0)
 
@@ -122,11 +122,12 @@ def _pallas_forward(scene, camera, statics):
 
 def bwd_kernel_eligible(scene: Scene) -> bool:
     """True if the hand-derived backward kernel covers this (concrete)
-    scene: spheres only, small enough for the per-sphere grad reduction."""
-    import numpy as np
-    from .pallas import wavefront_bwd as wb
-    return (not bool(np.asarray(scene.tri_valid).any())
-            and scene.num_spheres <= wb.MAX_BWD_SPHERES)
+    scene.  Round 3 lifted the old sphere-only / S<=64 gates: the kernel
+    streams per-lane winner gradients to HBM and reduces by scatter-add,
+    so the only limit is the SMEM scene tables (same budget as the forward
+    megakernel — covers the ~10k-tri OBJ inverse-rendering config)."""
+    from . import pallas_table_bytes, PALLAS_SMEM_BUDGET_BYTES
+    return pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES
 
 
 def _fwd(scene, camera, statics):
@@ -149,10 +150,11 @@ def _bwd(statics, residuals, g):
         from .pallas import wavefront_bwd as wb
         import dataclasses
         sph = pack_spheres_jnp(scene)
-        dsph, dcam = wb.render_grad_pallas(
-            sph, g, wf.camera_vec(camera), width=width, height=height,
+        tri = pack_triangles_jnp(scene)
+        dsph, dtri, dcam = wb.render_grad_pallas(
+            sph, tri, g, wf.camera_vec(camera), width=width, height=height,
             samples_per_pixel=spp, depth=depth, seed=seed,
-            interpret=interpret)
+            parity_plane_sign=pps, interpret=interpret)
         M = scene.materials.count
         mat = scene.sphere_mat
         d_color = jnp.zeros((M, 3), jnp.float32).at[mat].add(dsph[4:7].T)
@@ -165,6 +167,19 @@ def _bwd(statics, residuals, g):
             sphere_radius=dsph[3],
             materials=dataclasses.replace(
                 scene_ct.materials, color=d_color, fuzz=d_fuzz, ir=d_ir))
+        # triangle gradients: the kernel returns the cotangent of the
+        # PACKED table; vertex + material contributions chain through the
+        # traceable packer's VJP (plane constants, unit normal, albedo)
+        _, tri_vjp = jax.vjp(pack_triangles_jnp, scene)
+        (tri_ct,) = tri_vjp(dtri)
+        scene_ct = dataclasses.replace(
+            scene_ct,
+            tri_v0=scene_ct.tri_v0 + tri_ct.tri_v0,
+            tri_v1=scene_ct.tri_v1 + tri_ct.tri_v1,
+            tri_v2=scene_ct.tri_v2 + tri_ct.tri_v2,
+            materials=dataclasses.replace(
+                scene_ct.materials,
+                color=scene_ct.materials.color + tri_ct.materials.color))
         cam_ct = jax.tree.map(_zeros_ct, camera)
         cam_ct = dataclasses.replace(
             cam_ct, origin=dcam[0:3], lower_left_corner=dcam[3:6],

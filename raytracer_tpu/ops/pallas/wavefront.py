@@ -52,14 +52,17 @@ _SPH_CX, _SPH_CY, _SPH_CZ, _SPH_R, _SPH_R2 = 0, 1, 2, 3, 4
 _SPH_KIND, _SPH_AR, _SPH_AG, _SPH_AB, _SPH_FUZZ, _SPH_IR = 5, 6, 7, 8, 9, 10
 SPH_ROWS = 11
 
-# triangle SMEM layout rows
+# triangle SMEM layout rows.  The shading normal is NOT stored: it is the
+# normalized plane normal, recovered once per bounce by _resolve_tri_normals
+# (3 rows saved keeps the ~10k-tri OBJ scene inside the SMEM budget).
+# _TRI_EXTRA holds the material's fuzz (metal) or ir (dielectric) — they are
+# mutually exclusive by kind, so one row serves both (materials.rs:7-12).
 (_TRI_NX, _TRI_NY, _TRI_NZ, _TRI_D,
  _TRI_G0X, _TRI_G0Y, _TRI_G0Z, _TRI_W0,
  _TRI_G1X, _TRI_G1Y, _TRI_G1Z, _TRI_W1,
  _TRI_G2X, _TRI_G2Y, _TRI_G2Z, _TRI_W2,
- _TRI_UNX, _TRI_UNY, _TRI_UNZ,
- _TRI_KIND, _TRI_AR, _TRI_AG, _TRI_AB) = range(23)
-TRI_ROWS = 23
+ _TRI_KIND, _TRI_EXTRA, _TRI_AR, _TRI_AG, _TRI_AB) = range(21)
+TRI_ROWS = 21
 
 T_MIN = np.float32(0.001)
 BIG = np.float32(3.0e38)
@@ -136,6 +139,8 @@ def pack_triangles(scene: Scene, perm=None) -> np.ndarray:
         valid, mat = valid[perm], mat[perm]
     kind = np.asarray(scene.materials.kind, np.float32)[mat]
     alb = np.asarray(scene.materials.color, np.float32)[mat]
+    fuzz = np.asarray(scene.materials.fuzz, np.float32)[mat]
+    ir = np.asarray(scene.materials.ir, np.float32)[mat]
     n = np.cross(v1 - v0, v2 - v0)
     d = np.einsum("ij,ij->i", n, v0)
     g0 = np.cross(n, v1 - v0)
@@ -144,8 +149,6 @@ def pack_triangles(scene: Scene, perm=None) -> np.ndarray:
     w0 = np.einsum("ij,ij->i", v0, g0)
     w1 = np.einsum("ij,ij->i", v1, g1)
     w2 = np.einsum("ij,ij->i", v2, g2)
-    ln = np.linalg.norm(n, axis=-1)
-    un = n / np.where(ln[:, None] == 0, 1.0, ln[:, None])
     T = v0.shape[0]
     out = np.zeros((TRI_ROWS, T), np.float32)
     out[_TRI_NX], out[_TRI_NY], out[_TRI_NZ] = n[:, 0], n[:, 1], n[:, 2]
@@ -156,8 +159,9 @@ def pack_triangles(scene: Scene, perm=None) -> np.ndarray:
     out[_TRI_W1] = w1
     out[_TRI_G2X], out[_TRI_G2Y], out[_TRI_G2Z] = g2[:, 0], g2[:, 1], g2[:, 2]
     out[_TRI_W2] = w2
-    out[_TRI_UNX], out[_TRI_UNY], out[_TRI_UNZ] = un[:, 0], un[:, 1], un[:, 2]
     out[_TRI_KIND] = kind
+    out[_TRI_EXTRA] = np.where(kind == 1.0, fuzz,
+                               np.where(kind == 2.0, ir, 0.0))
     out[_TRI_AR], out[_TRI_AG], out[_TRI_AB] = alb[:, 0], alb[:, 1], alb[:, 2]
     # invalid triangles: zero normal -> parallel test rejects every ray
     for row in range(TRI_ROWS):
@@ -412,18 +416,42 @@ def _make_tri_body(read, parity_plane_sign, ox, oy, oz, dx, dy, dz):
         # triangle wins ties (<=): common.rs:142 vs World::hit
         better = ok & (t <= t_best)
         t_best = jnp.where(better, t, t_best)
-        nx = jnp.where(better, read(_TRI_UNX, ti), nx)
-        ny = jnp.where(better, read(_TRI_UNY, ti), ny)
-        nz = jnp.where(better, read(_TRI_UNZ, ti), nz)
-        kind = jnp.where(better, read(_TRI_KIND, ti), kind)
+        # carry the PLANE normal; kind+8 marks a triangle winner so
+        # _resolve_tri_normals normalizes it once after the loop (the
+        # shading normal is normalize(cross(v1-v0, v2-v0)), common.rs:121)
+        nx = jnp.where(better, tnx, nx)
+        ny = jnp.where(better, tny, ny)
+        nz = jnp.where(better, tnz, nz)
+        tkind = read(_TRI_KIND, ti)
+        textra = read(_TRI_EXTRA, ti)
+        kind = jnp.where(better, tkind + 8.0, kind)
         ar = jnp.where(better, read(_TRI_AR, ti), ar)
         ag = jnp.where(better, read(_TRI_AG, ti), ag)
         ab = jnp.where(better, read(_TRI_AB, ti), ab)
-        fz = jnp.where(better, 0.0, fz)
-        irx = jnp.where(better, 1.0, irx)
+        # EXTRA is fuzz for metal, ir for dielectric (mutually exclusive)
+        t_met = (tkind >= 0.5) & (tkind < 1.5)
+        t_die = (tkind >= 1.5) & (tkind < 2.5)
+        fz = jnp.where(better, jnp.where(t_met, textra, 0.0), fz)
+        irx = jnp.where(better, jnp.where(t_die, textra, 1.0), irx)
         return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
 
     return tri_body
+
+
+def _resolve_tri_normals(hs):
+    """Post-triangle-loop fixup: lanes whose winner is a triangle (kind+8
+    marker from _make_tri_body) carry the raw PLANE normal — normalize it
+    into the shading normal and strip the marker.  One normalize per
+    bounce instead of 3 table rows per triangle."""
+    (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
+    is_tri = kind >= 7.5
+    ln = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    ln = jnp.where(ln == 0.0, 1.0, ln)
+    nx = jnp.where(is_tri, nx / ln, nx)
+    ny = jnp.where(is_tri, ny / ln, ny)
+    nz = jnp.where(is_tri, nz / ln, nz)
+    kind = jnp.where(is_tri, kind - 8.0, kind)
+    return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
 
 
 def _scatter_bookkeep(pix_u, s_u, b, ox, oy, oz, dx, dy, dz, hpx, hpy, hpz,
@@ -683,6 +711,7 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                                                tri_cluster_body, hs)
                     else:
                         hs = jax.lax.fori_loop(0, n_tris, tri_body, hs)
+                    hs = _resolve_tri_normals(hs)
                     t_best = hs[0]
                     hpx = ox + t_best * dx
                     hpy = oy + t_best * dy

@@ -6,35 +6,44 @@ the backward pass on the XLA wavefront renderer at ~an order of magnitude
 below kernel speed.  This kernel closes that gap: it re-runs the forward
 trace storing per-bounce residuals in VMEM (22 f32 planes per bounce — ray
 state, throughput, hit t, winner id, and the winner's attributes), then
-sweeps the bounce loop backward propagating adjoints by hand and reducing
-per-sphere parameter gradients on the fly.  HBM traffic is one read of the
-image cotangent and one write of the (tiny) gradient tables.
+sweeps the bounce loop backward propagating adjoints by hand.
 
 Adjoint math (all per-lane, masks mirror the forward branches exactly —
 piecewise AD, the same "follow the selected branch" rule XLA applies):
 
-  * hit t by implicit differentiation of F = |o + t d - c|^2 - r^2 = 0:
+  * sphere hit t by implicit differentiation of F = |o+td-c|^2 - r^2 = 0:
       dt/dc =  u/(u.d),  dt/dr = r/(u.d),
       dt/do = -u/(u.d),  dt/dd = -t u/(u.d),   u = p - c
     (identical to AD through the half-b quadratic up to rounding; grazing
     hits u.d -> 0 are guard-zeroed like safe_sqrt in the XLA path).
-  * normal n = sgn * u/|u| (sgn = sign of radius): the standard
-    normalize adjoint  v_bar = (g - v_hat (v_hat.g))/|v|.
+  * triangle hit t = (d_p - n.o)/(n.dir) (correct sign; the reference's
+    wrong-sign variant common.rs:140-141 flips the n.o term) by direct
+    differentiation w.r.t. the packed plane constants (n, d_p) and the
+    ray; edge-test constants get ZERO cotangent (the inside/outside
+    decision is piecewise constant — same as XLA AD through `e_k >= 0`).
+  * sphere normal n = sgn * u/|u|: the standard normalize adjoint;
+    triangle shading normal n = nplane/|nplane| (the kernels normalize
+    the packed PLANE normal, wavefront._resolve_tri_normals) — its
+    normalize adjoint folds into the plane-normal cotangent, and vertex
+    gradients chain through pack_triangles_jnp's VJP outside the kernel.
   * scatter adjoints for diffuse (n + rand), metal (reflect + fuzz*rand,
     absorb mask), dielectric (the reference's always-refract chain,
     materials.rs:65-97) and the sky gradient (common.rs:277-280).
   * camera: d0 = normalize(llc + u*h + v*v - origin) back-propagated into
     the 12 cam_vec components (lane-reduced).
 
-Scope gates (dispatched in ops/diff.py): sphere-only scenes (no valid
-triangles) with S <= MAX_BWD_SPHERES — the per-sphere gradient reduction is
-a masked lane-sum per (sphere, quantity, bounce, sample).  Everything else
-falls back to the XLA recompute backward.
+SCALING (round-3 redesign): instead of an in-kernel fori-over-primitives
+masked-sum reduction (O(P * lanes), which forced the old sphere-only
+S<=64 gate), the kernel STREAMS per-lane winner gradients to HBM — a
+(spp*blocks, depth*10, R, 128) slab of [win id | d_c/d_n | d_r/d_dp |
+d_albedo | d_fuzz | d_ir] planes — and the per-primitive reduction
+is one XLA scatter-add by winner id.  Eligibility is now only "scene
+tables fit SMEM" (~10k triangles / ~22k spheres), which covers the OBJ
+inverse-rendering config.
 
-Gradient outputs: d_sphere table (9, S) f32 — rows cx, cy, cz, r, albedo
-rgb, fuzz, ir — and d_cam (12,) f32.  Material-table gradients are scattered
-from the per-sphere albedo/fuzz/ir rows outside the kernel (segment-sum by
-``sphere_mat``), so shared materials accumulate over their spheres.
+Triangle metal fuzz / dielectric ir ride the packed EXTRA row (one row,
+mutually exclusive by kind) exactly like the forward kernels; their
+gradients flow to the material table via the same row.
 """
 
 from __future__ import annotations
@@ -47,37 +56,52 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .wavefront import (LANES, T_MIN, BIG, SPH_ROWS, _SEED_MIX, _pcg3d, _u01,
+from .wavefront import (LANES, T_MIN, BIG, SPH_ROWS, TRI_ROWS, _SEED_MIX,
+                        _pcg3d, _u01,
                         _SPH_CX, _SPH_CY, _SPH_CZ, _SPH_R, _SPH_R2,
                         _SPH_KIND, _SPH_AR, _SPH_AG, _SPH_AB, _SPH_FUZZ,
-                        _SPH_IR)
+                        _SPH_IR,
+                        _TRI_NX, _TRI_NY, _TRI_NZ, _TRI_D,
+                        _TRI_KIND, _TRI_EXTRA, _TRI_AR, _TRI_AG, _TRI_AB)
 
-# residual plane indices (per bounce, stored in VMEM scratch)
+# residual plane indices (per bounce, stored in VMEM scratch).  For sphere
+# winners CX/CY/CZ hold the center and R the radius; for triangle winners
+# they hold the PLANE normal and plane d (shading normal = normalized).
 (_RS_OX, _RS_OY, _RS_OZ, _RS_DX, _RS_DY, _RS_DZ,
  _RS_TPR, _RS_TPG, _RS_TPB, _RS_T, _RS_WIN, _RS_ALIVE,
  _RS_CX, _RS_CY, _RS_CZ, _RS_R, _RS_KIND,
  _RS_AR, _RS_AG, _RS_AB, _RS_FZ, _RS_IR) = range(22)
 _RES_PLANES = 22
 
-# gradient table rows (9, S)
-(_G_CX, _G_CY, _G_CZ, _G_R, _G_AR, _G_AG, _G_AB, _G_FZ, _G_IR) = range(9)
-GRAD_ROWS = 9
+# per-lane gradient slab planes (per bounce): winner id then 9 grads.
+# C1..C3/R are center/radius for sphere winners, plane-normal/plane-d for
+# triangle winners; FZ/IR map to the triangle EXTRA row by winner kind.
+(_GP_WIN, _GP_C1, _GP_C2, _GP_C3, _GP_R, _GP_AR, _GP_AG, _GP_AB,
+ _GP_FZ, _GP_IR) = range(10)
+GRAD_PLANES = 10
 
-MAX_BWD_SPHERES = 64
+# legacy name kept for callers that sized scenes against the old in-kernel
+# reduction; the real gate is now table bytes (ops.diff.bwd_kernel_eligible)
+MAX_BWD_SPHERES = 22_000
 
 
-def _make_bwd_kernel(width, height, spp, depth, n_spheres, block_rows,
-                     shard_rows=None):
+def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
+                     block_rows, parity_plane_sign, shard_rows=None):
     R = block_rows
     ntx = pl.cdiv(width, LANES)
+    nty = pl.cdiv(shard_rows if shard_rows is not None else height,
+                  block_rows)
+    nblocks = ntx * nty
     inv_w1 = np.float32(width - 1)
     inv_h1 = np.float32(height - 1)
     if shard_rows is None:
         shard_rows = height
+    S = n_spheres
 
-    def kernel(cam_ref, sph_ref, seed_ref, g_ref, dsph_ref, dcam_ref,
-               res_ref):
-        blk = pl.program_id(0)
+    def kernel(cam_ref, sph_ref, tri_ref, seed_ref, g_ref, grad_ref,
+               dcam_ref, res_ref):
+        s = pl.program_id(0)
+        blk = pl.program_id(1)
         ty = blk // ntx
         tx = blk - ty * ntx
         row_offset = seed_ref[1].astype(jnp.int32)
@@ -92,6 +116,7 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, block_rows,
         prow_f = prow.astype(jnp.float32)
         pcol_f = pcol.astype(jnp.float32)
         pix_u = (prow * width + pcol).astype(jnp.uint32) + seed_ref[0]
+        s_u = jnp.uint32(s)
 
         ox0 = cam_ref[0]
         oy0 = cam_ref[1]
@@ -105,14 +130,10 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, block_rows,
         two = jnp.float32(2.0)
         onef = jnp.float32(1.0)
 
-        # zero-init gradient accumulators on the first block (outputs use a
-        # constant index map; the sequential TPU grid accumulates across
-        # blocks)
-        @pl.when(blk == 0)
+        # zero-init the camera-grad accumulator on the first grid step (the
+        # sequential TPU grid then accumulates across (sample, block))
+        @pl.when((s == 0) & (blk == 0))
         def _():
-            for r in range(GRAD_ROWS):
-                for si in range(n_spheres):
-                    dsph_ref[r, si] = jnp.float32(0.0)
             for k in range(12):
                 dcam_ref[0, k] = jnp.float32(0.0)
 
@@ -122,586 +143,653 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, block_rows,
         gg = g_ref[1] * inv_spp
         gb = g_ref[2] * inv_spp
 
-        def per_sample(s, carry):
-            # NOTE: f32-scalar fori carries fail to legalize in Mosaic (see
-            # wavefront.py); camera grads accumulate straight into the SMEM
-            # output instead of riding the carry
-            s_u = jnp.uint32(s)
+        ju, jv, _ = _pcg3d(pix_u, s_u, jnp.uint32(0))
+        u = (pcol_f + _u01(ju)) / inv_w1
+        v = (prow_f + _u01(jv)) / inv_h1
 
-            ju, jv, _ = _pcg3d(pix_u, s_u, jnp.uint32(0))
-            u = (pcol_f + _u01(ju)) / inv_w1
-            v = (prow_f + _u01(jv)) / inv_h1
+        dvx_ = llcx + u * hx + v * vx - ox0
+        dvy_ = llcy + u * hy + v * vy - oy0
+        dvz_ = llcz + u * hz + v * vz - oz0
+        dlen = jnp.sqrt(dvx_ * dvx_ + dvy_ * dvy_ + dvz_ * dvz_)
+        dx0 = dvx_ / dlen
+        dy0 = dvy_ / dlen
+        dz0 = dvz_ / dlen
 
-            dvx_ = llcx + u * hx + v * vx - ox0
-            dvy_ = llcy + u * hy + v * vy - oy0
-            dvz_ = llcz + u * hz + v * vz - oz0
-            dlen = jnp.sqrt(dvx_ * dvx_ + dvy_ * dvy_ + dvz_ * dvz_)
-            dx0 = dvx_ / dlen
-            dy0 = dvy_ / dlen
-            dz0 = dvz_ / dlen
+        # ---------------- forward sweep, storing residuals ----------------
+        def fwd_body(b, st):
+            (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, alive_f) = st
+            alive = alive_f > 0.5
 
-            # ---------------- forward sweep, storing residuals ------------
-            def fwd_body(b, st):
-                (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, alive_f) = st
-                alive = alive_f > 0.5
+            t_best = jnp.full((R, LANES), BIG)
+            win = jnp.full((R, LANES), -1.0)
+            nxc = zero
+            nyc = zero
+            nzc = one
+            rr_ = one
+            kind = zero
+            ar = zero
+            ag = zero
+            ab = zero
+            fz = zero
+            irx = one
 
-                t_best = jnp.full((R, LANES), BIG)
-                win = jnp.full((R, LANES), -1.0)
-                nxc = zero
-                nyc = zero
-                nzc = one
-                rr_ = one
-                kind = zero
-                ar = zero
-                ag = zero
-                ab = zero
-                fz = zero
-                irx = one
-
-                def sph_body(si, hs):
-                    (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab, fz,
-                     irx) = hs
-                    cx = sph_ref[_SPH_CX, si]
-                    cy = sph_ref[_SPH_CY, si]
-                    cz = sph_ref[_SPH_CZ, si]
-                    r2 = sph_ref[_SPH_R2, si]
-                    ocx = ox - cx
-                    ocy = oy - cy
-                    ocz = oz - cz
-                    half_b = ocx * dx + ocy * dy + ocz * dz
-                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                    disc = half_b * half_b - cc
-                    ok = (disc >= 0.0) & (r2 > 0.0)
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    root1 = -half_b - sq
-                    root2 = -half_b + sq
-                    t = jnp.where(root1 > T_MIN, root1,
-                                  jnp.where(root2 > T_MIN, root2, BIG))
-                    t = jnp.where(ok, t, BIG)
-                    better = t < t_best
-                    t_best = jnp.where(better, t, t_best)
-                    win = jnp.where(better, si.astype(jnp.float32), win)
-                    nxc = jnp.where(better, cx, nxc)
-                    nyc = jnp.where(better, cy, nyc)
-                    nzc = jnp.where(better, cz, nzc)
-                    rr_ = jnp.where(better, sph_ref[_SPH_R, si], rr_)
-                    kind = jnp.where(better, sph_ref[_SPH_KIND, si], kind)
-                    ar = jnp.where(better, sph_ref[_SPH_AR, si], ar)
-                    ag = jnp.where(better, sph_ref[_SPH_AG, si], ag)
-                    ab = jnp.where(better, sph_ref[_SPH_AB, si], ab)
-                    fz = jnp.where(better, sph_ref[_SPH_FUZZ, si], fz)
-                    irx = jnp.where(better, sph_ref[_SPH_IR, si], irx)
-                    return (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag,
-                            ab, fz, irx)
-
+            def sph_body(si, hs):
                 (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab, fz,
-                 irx) = jax.lax.fori_loop(
-                    0, n_spheres, sph_body,
-                    (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab, fz,
-                     irx))
+                 irx) = hs
+                cx = sph_ref[_SPH_CX, si]
+                cy = sph_ref[_SPH_CY, si]
+                cz = sph_ref[_SPH_CZ, si]
+                r2 = sph_ref[_SPH_R2, si]
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                half_b = ocx * dx + ocy * dy + ocz * dz
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = half_b * half_b - cc
+                ok = (disc >= 0.0) & (r2 > 0.0)
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                root1 = -half_b - sq
+                root2 = -half_b + sq
+                t = jnp.where(root1 > T_MIN, root1,
+                              jnp.where(root2 > T_MIN, root2, BIG))
+                t = jnp.where(ok, t, BIG)
+                better = t < t_best
+                t_best = jnp.where(better, t, t_best)
+                win = jnp.where(better, si.astype(jnp.float32), win)
+                nxc = jnp.where(better, cx, nxc)
+                nyc = jnp.where(better, cy, nyc)
+                nzc = jnp.where(better, cz, nzc)
+                rr_ = jnp.where(better, sph_ref[_SPH_R, si], rr_)
+                kind = jnp.where(better, sph_ref[_SPH_KIND, si], kind)
+                ar = jnp.where(better, sph_ref[_SPH_AR, si], ar)
+                ag = jnp.where(better, sph_ref[_SPH_AG, si], ag)
+                ab = jnp.where(better, sph_ref[_SPH_AB, si], ab)
+                fz = jnp.where(better, sph_ref[_SPH_FUZZ, si], fz)
+                irx = jnp.where(better, sph_ref[_SPH_IR, si], irx)
+                return (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab,
+                        fz, irx)
 
-                # store residuals for this bounce
-                res_ref[b, _RS_OX] = ox
-                res_ref[b, _RS_OY] = oy
-                res_ref[b, _RS_OZ] = oz
-                res_ref[b, _RS_DX] = dx
-                res_ref[b, _RS_DY] = dy
-                res_ref[b, _RS_DZ] = dz
-                res_ref[b, _RS_TPR] = tpr
-                res_ref[b, _RS_TPG] = tpg
-                res_ref[b, _RS_TPB] = tpb
-                res_ref[b, _RS_T] = t_best
-                res_ref[b, _RS_WIN] = win
-                res_ref[b, _RS_ALIVE] = alive_f
-                res_ref[b, _RS_CX] = nxc
-                res_ref[b, _RS_CY] = nyc
-                res_ref[b, _RS_CZ] = nzc
-                res_ref[b, _RS_R] = rr_
-                res_ref[b, _RS_KIND] = kind
-                res_ref[b, _RS_AR] = ar
-                res_ref[b, _RS_AG] = ag
-                res_ref[b, _RS_AB] = ab
-                res_ref[b, _RS_FZ] = fz
-                res_ref[b, _RS_IR] = irx
+            hs = jax.lax.fori_loop(
+                0, n_spheres, sph_body,
+                (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab, fz,
+                 irx))
 
-                # shared forward shading math (identical to wavefront.py)
-                hit = t_best < BIG
-                hpx = jnp.where(hit, ox + t_best * dx, ox)
-                hpy = jnp.where(hit, oy + t_best * dy, oy)
-                hpz = jnp.where(hit, oz + t_best * dz, oz)
-                neg_r = kind >= 3.5
-                sgn = jnp.where(neg_r, -onef, onef)
-                kind = jnp.where(neg_r, kind - 4.0, kind)
-                snx = hpx - nxc
-                sny = hpy - nyc
-                snz = hpz - nzc
-                slen = jnp.sqrt(snx * snx + sny * sny + snz * snz)
-                slen = jnp.where(slen == 0.0, 1.0, slen) * sgn
-                nx = snx / slen
-                ny = sny / slen
-                nz = snz / slen
+            def tri_body(ti, hs):
+                # mirror of wavefront._make_tri_body, tracking the winner
+                # id + plane-normal residuals instead of only attrs
+                (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab, fz,
+                 irx) = hs
+                tnx = tri_ref[_TRI_NX, ti]
+                tny = tri_ref[_TRI_NY, ti]
+                tnz = tri_ref[_TRI_NZ, ti]
+                td = tri_ref[_TRI_D, ti]
+                nd = tnx * dx + tny * dy + tnz * dz
+                no = tnx * ox + tny * oy + tnz * oz
+                par = jnp.abs(nd) < 1e-8
+                nd_safe = jnp.where(par, 1.0, nd)
+                if parity_plane_sign:
+                    t = (no + td) / nd_safe
+                else:
+                    t = (td - no) / nd_safe
+                ok = (~par) & (t >= T_MIN)
+                for g_row, w_row in ((4, 7), (8, 11), (12, 15)):
+                    gx = tri_ref[g_row, ti]
+                    gy = tri_ref[g_row + 1, ti]
+                    gz = tri_ref[g_row + 2, ti]
+                    e = (ox * gx + oy * gy + oz * gz
+                         + t * (dx * gx + dy * gy + dz * gz)
+                         - tri_ref[w_row, ti])
+                    ok &= e >= 0.0
+                better = ok & (t <= t_best)   # triangle wins ties
+                t_best = jnp.where(better, t, t_best)
+                win = jnp.where(better, jnp.float32(S) + ti.astype(
+                    jnp.float32), win)
+                nxc = jnp.where(better, tnx, nxc)
+                nyc = jnp.where(better, tny, nyc)
+                nzc = jnp.where(better, tnz, nzc)
+                rr_ = jnp.where(better, td, rr_)
+                tkind = tri_ref[_TRI_KIND, ti]
+                textra = tri_ref[_TRI_EXTRA, ti]
+                kind = jnp.where(better, tkind, kind)
+                ar = jnp.where(better, tri_ref[_TRI_AR, ti], ar)
+                ag = jnp.where(better, tri_ref[_TRI_AG, ti], ag)
+                ab = jnp.where(better, tri_ref[_TRI_AB, ti], ab)
+                t_met = (tkind >= 0.5) & (tkind < 1.5)
+                t_die = (tkind >= 1.5) & (tkind < 2.5)
+                fz = jnp.where(better, jnp.where(t_met, textra, 0.0), fz)
+                irx = jnp.where(better, jnp.where(t_die, textra, 1.0), irx)
+                return (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab,
+                        fz, irx)
 
-                bx, by, bz = _pcg3d(pix_u, s_u, jnp.uint32(1 + b))
-                rx = _u01(bx) * two - onef
-                ry = _u01(by) * two - onef
-                rz = _u01(bz) * two - onef
-                rl = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-                rx, ry, rz = rx / rl, ry / rl, rz / rl
+            if n_tris > 0:
+                hs = jax.lax.fori_loop(0, n_tris, tri_body, hs)
+            (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab, fz,
+             irx) = hs
 
-                sdx = nx + rx
-                sdy = ny + ry
-                sdz = nz + rz
-                deg = ((jnp.abs(sdx) < 1e-8) & (jnp.abs(sdy) < 1e-8)
-                       & (jnp.abs(sdz) < 1e-8))
-                sl = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
-                sl = jnp.where(sl == 0.0, 1.0, sl)
-                difx = jnp.where(deg, nx, sdx / sl)
-                dify = jnp.where(deg, ny, sdy / sl)
-                difz = jnp.where(deg, nz, sdz / sl)
+            res_ref[b, _RS_OX] = ox
+            res_ref[b, _RS_OY] = oy
+            res_ref[b, _RS_OZ] = oz
+            res_ref[b, _RS_DX] = dx
+            res_ref[b, _RS_DY] = dy
+            res_ref[b, _RS_DZ] = dz
+            res_ref[b, _RS_TPR] = tpr
+            res_ref[b, _RS_TPG] = tpg
+            res_ref[b, _RS_TPB] = tpb
+            res_ref[b, _RS_T] = t_best
+            res_ref[b, _RS_WIN] = win
+            res_ref[b, _RS_ALIVE] = alive_f
+            res_ref[b, _RS_CX] = nxc
+            res_ref[b, _RS_CY] = nyc
+            res_ref[b, _RS_CZ] = nzc
+            res_ref[b, _RS_R] = rr_
+            res_ref[b, _RS_KIND] = kind
+            res_ref[b, _RS_AR] = ar
+            res_ref[b, _RS_AG] = ag
+            res_ref[b, _RS_AB] = ab
+            res_ref[b, _RS_FZ] = fz
+            res_ref[b, _RS_IR] = irx
 
-                dn = dx * nx + dy * ny + dz * nz
-                rfx = dx - two * dn * nx
-                rfy = dy - two * dn * ny
-                rfz = dz - two * dn * nz
-                mx = rfx + fz * rx
-                my = rfy + fz * ry
-                mz = rfz + fz * rz
-                met_keep = (mx * nx + my * ny + mz * nz) >= 0.0
-                ml = jnp.sqrt(mx * mx + my * my + mz * mz)
-                ml = jnp.where(ml == 0.0, 1.0, ml)
-                metx = mx / ml
-                mety = my / ml
-                metz = mz / ml
+            # shared forward shading math (identical to wavefront.py)
+            is_tri = win >= jnp.float32(S) - 0.5
+            hit = t_best < BIG
+            hpx = jnp.where(hit, ox + t_best * dx, ox)
+            hpy = jnp.where(hit, oy + t_best * dy, oy)
+            hpz = jnp.where(hit, oz + t_best * dz, oz)
+            neg_r = kind >= 3.5
+            sgn = jnp.where(neg_r, -onef, onef)
+            kind = jnp.where(neg_r, kind - 4.0, kind)
+            snx = hpx - nxc
+            sny = hpy - nyc
+            snz = hpz - nzc
+            slen = jnp.sqrt(snx * snx + sny * sny + snz * snz)
+            slen = jnp.where(slen == 0.0, 1.0, slen) * sgn
+            # triangle shading normal = normalize(plane normal) — same
+            # math as wavefront._resolve_tri_normals
+            tln = jnp.sqrt(nxc * nxc + nyc * nyc + nzc * nzc)
+            tln = jnp.where(tln == 0.0, 1.0, tln)
+            nx = jnp.where(is_tri, nxc / tln, snx / slen)
+            ny = jnp.where(is_tri, nyc / tln, sny / slen)
+            nz = jnp.where(is_tri, nzc / tln, snz / slen)
 
-                inside = dn >= 0.0
-                sgn2 = jnp.where(inside, -onef, onef)
-                nex = sgn2 * nx
-                ney = sgn2 * ny
-                nez = sgn2 * nz
-                ratio = jnp.where(inside, onef / irx, irx)
-                cos_t = -(dx * nex + dy * ney + dz * nez)
-                px = ratio * (dx + cos_t * nex)
-                py = ratio * (dy + cos_t * ney)
-                pz = ratio * (dz + cos_t * nez)
-                pl2 = px * px + py * py + pz * pz
-                para = -jnp.sqrt(jnp.abs(onef - pl2))
-                qx = px + para * nex
-                qy = py + para * ney
-                qz = pz + para * nez
-                ql = jnp.sqrt(qx * qx + qy * qy + qz * qz)
-                ql = jnp.where(ql == 0.0, 1.0, ql)
-                diex = qx / ql
-                diey = qy / ql
-                diez = qz / ql
+            bx, by, bz = _pcg3d(pix_u, s_u, jnp.uint32(1 + b))
+            rx = _u01(bx) * two - onef
+            ry = _u01(by) * two - onef
+            rz = _u01(bz) * two - onef
+            rl = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+            rx, ry, rz = rx / rl, ry / rl, rz / rl
 
-                is_dif = kind < 0.5
-                is_met = (kind >= 0.5) & (kind < 1.5)
-                is_die = (kind >= 1.5) & (kind < 2.5)
-                is_emi = kind >= 2.5
+            sdx = nx + rx
+            sdy = ny + ry
+            sdz = nz + rz
+            deg = ((jnp.abs(sdx) < 1e-8) & (jnp.abs(sdy) < 1e-8)
+                   & (jnp.abs(sdz) < 1e-8))
+            sl = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
+            sl = jnp.where(sl == 0.0, 1.0, sl)
+            difx = jnp.where(deg, nx, sdx / sl)
+            dify = jnp.where(deg, ny, sdy / sl)
+            difz = jnp.where(deg, nz, sdz / sl)
 
-                scr = jnp.where(is_die, onef, ar)
-                scg = jnp.where(is_die, onef, ag)
-                scb = jnp.where(is_die, onef, ab)
-                ndx = jnp.where(is_dif, difx,
-                                jnp.where(is_met, metx,
-                                          jnp.where(is_die, diex, nx)))
-                ndy = jnp.where(is_dif, dify,
-                                jnp.where(is_met, mety,
-                                          jnp.where(is_die, diey, ny)))
-                ndz = jnp.where(is_dif, difz,
-                                jnp.where(is_met, metz,
-                                          jnp.where(is_die, diez, nz)))
-                term = is_emi | (is_met & ~met_keep)
-                cont = alive & hit & ~term
+            dn = dx * nx + dy * ny + dz * nz
+            rfx = dx - two * dn * nx
+            rfy = dy - two * dn * ny
+            rfz = dz - two * dn * nz
+            mx = rfx + fz * rx
+            my = rfy + fz * ry
+            mz = rfz + fz * rz
+            met_keep = (mx * nx + my * ny + mz * nz) >= 0.0
+            ml = jnp.sqrt(mx * mx + my * my + mz * mz)
+            ml = jnp.where(ml == 0.0, 1.0, ml)
+            metx = mx / ml
+            mety = my / ml
+            metz = mz / ml
 
-                tpr = jnp.where(cont, tpr * scr, tpr)
-                tpg = jnp.where(cont, tpg * scg, tpg)
-                tpb = jnp.where(cont, tpb * scb, tpb)
-                ox = jnp.where(cont, hpx, ox)
-                oy = jnp.where(cont, hpy, oy)
-                oz = jnp.where(cont, hpz, oz)
-                dx = jnp.where(cont, ndx, dx)
-                dy = jnp.where(cont, ndy, dy)
-                dz = jnp.where(cont, ndz, dz)
-                alive_f = jnp.where(cont, 1.0, 0.0)
-                return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, alive_f)
+            inside = dn >= 0.0
+            sgn2 = jnp.where(inside, -onef, onef)
+            nex = sgn2 * nx
+            ney = sgn2 * ny
+            nez = sgn2 * nz
+            ratio = jnp.where(inside, onef / irx, irx)
+            cos_t = -(dx * nex + dy * ney + dz * nez)
+            px = ratio * (dx + cos_t * nex)
+            py = ratio * (dy + cos_t * ney)
+            pz = ratio * (dz + cos_t * nez)
+            pl2 = px * px + py * py + pz * pz
+            para = -jnp.sqrt(jnp.abs(onef - pl2))
+            qx = px + para * nex
+            qy = py + para * ney
+            qz = pz + para * nez
+            ql = jnp.sqrt(qx * qx + qy * qy + qz * qz)
+            ql = jnp.where(ql == 0.0, 1.0, ql)
+            diex = qx / ql
+            diey = qy / ql
+            diez = qz / ql
 
-            st0 = (jnp.broadcast_to(ox0, (R, LANES)),
-                   jnp.broadcast_to(oy0, (R, LANES)),
-                   jnp.broadcast_to(oz0, (R, LANES)),
-                   dx0, dy0, dz0, one, one, one,
-                   jnp.where(active0, 1.0, 0.0))
-            jax.lax.fori_loop(0, depth, fwd_body, st0)
+            is_dif = kind < 0.5
+            is_met = (kind >= 0.5) & (kind < 1.5)
+            is_die = (kind >= 1.5) & (kind < 2.5)
+            is_emi = kind >= 2.5
 
-            # ---------------- backward sweep ------------------------------
-            def bwd_body(i, bst):
-                (a_ox, a_oy, a_oz, a_dx, a_dy, a_dz, a_tr, a_tg, a_tb) = bst
-                b = depth - 1 - i
-                ox = res_ref[b, _RS_OX]
-                oy = res_ref[b, _RS_OY]
-                oz = res_ref[b, _RS_OZ]
-                dx = res_ref[b, _RS_DX]
-                dy = res_ref[b, _RS_DY]
-                dz = res_ref[b, _RS_DZ]
-                tpr = res_ref[b, _RS_TPR]
-                tpg = res_ref[b, _RS_TPG]
-                tpb = res_ref[b, _RS_TPB]
-                t_best = res_ref[b, _RS_T]
-                win = res_ref[b, _RS_WIN]
-                alive = res_ref[b, _RS_ALIVE] > 0.5
-                cxw = res_ref[b, _RS_CX]
-                cyw = res_ref[b, _RS_CY]
-                czw = res_ref[b, _RS_CZ]
-                rw = res_ref[b, _RS_R]
-                kind = res_ref[b, _RS_KIND]
-                ar = res_ref[b, _RS_AR]
-                ag = res_ref[b, _RS_AG]
-                ab = res_ref[b, _RS_AB]
-                fz = res_ref[b, _RS_FZ]
-                irx = res_ref[b, _RS_IR]
+            scr = jnp.where(is_die, onef, ar)
+            scg = jnp.where(is_die, onef, ag)
+            scb = jnp.where(is_die, onef, ab)
+            ndx = jnp.where(is_dif, difx,
+                            jnp.where(is_met, metx,
+                                      jnp.where(is_die, diex, nx)))
+            ndy = jnp.where(is_dif, dify,
+                            jnp.where(is_met, mety,
+                                      jnp.where(is_die, diey, ny)))
+            ndz = jnp.where(is_dif, difz,
+                            jnp.where(is_met, metz,
+                                      jnp.where(is_die, diez, nz)))
+            term = is_emi | (is_met & ~met_keep)
+            cont = alive & hit & ~term
 
-                # --- recompute forward shading primals ---
-                hit = t_best < BIG
-                t_s = jnp.where(hit, t_best, 0.0)
-                hpx = ox + t_s * dx
-                hpy = oy + t_s * dy
-                hpz = oz + t_s * dz
-                neg_r = kind >= 3.5
-                sgn = jnp.where(neg_r, -onef, onef)
-                kind = jnp.where(neg_r, kind - 4.0, kind)
-                ux = hpx - cxw
-                uy = hpy - cyw
-                uz = hpz - czw
-                ulen_raw = jnp.sqrt(ux * ux + uy * uy + uz * uz)
-                ulen = jnp.where(ulen_raw == 0.0, 1.0, ulen_raw)
-                nx = (ux / ulen) * sgn
-                ny = (uy / ulen) * sgn
-                nz = (uz / ulen) * sgn
+            tpr = jnp.where(cont, tpr * scr, tpr)
+            tpg = jnp.where(cont, tpg * scg, tpg)
+            tpb = jnp.where(cont, tpb * scb, tpb)
+            ox = jnp.where(cont, hpx, ox)
+            oy = jnp.where(cont, hpy, oy)
+            oz = jnp.where(cont, hpz, oz)
+            dx = jnp.where(cont, ndx, dx)
+            dy = jnp.where(cont, ndy, dy)
+            dz = jnp.where(cont, ndz, dz)
+            alive_f = jnp.where(cont, 1.0, 0.0)
+            return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, alive_f)
 
-                bx, by, bz = _pcg3d(pix_u, s_u, jnp.uint32(1 + b))
-                rx = _u01(bx) * two - onef
-                ry = _u01(by) * two - onef
-                rz = _u01(bz) * two - onef
-                rl = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-                rx, ry, rz = rx / rl, ry / rl, rz / rl
+        st0 = (jnp.broadcast_to(ox0, (R, LANES)),
+               jnp.broadcast_to(oy0, (R, LANES)),
+               jnp.broadcast_to(oz0, (R, LANES)),
+               dx0, dy0, dz0, one, one, one,
+               jnp.where(active0, 1.0, 0.0))
+        jax.lax.fori_loop(0, depth, fwd_body, st0)
 
-                # diffuse
-                sdx = nx + rx
-                sdy = ny + ry
-                sdz = nz + rz
-                deg = ((jnp.abs(sdx) < 1e-8) & (jnp.abs(sdy) < 1e-8)
-                       & (jnp.abs(sdz) < 1e-8))
-                sl = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
-                sl = jnp.where(sl == 0.0, 1.0, sl)
+        # ---------------- backward sweep ----------------------------------
+        def bwd_body(i, bst):
+            (a_ox, a_oy, a_oz, a_dx, a_dy, a_dz, a_tr, a_tg, a_tb) = bst
+            b = depth - 1 - i
+            ox = res_ref[b, _RS_OX]
+            oy = res_ref[b, _RS_OY]
+            oz = res_ref[b, _RS_OZ]
+            dx = res_ref[b, _RS_DX]
+            dy = res_ref[b, _RS_DY]
+            dz = res_ref[b, _RS_DZ]
+            tpr = res_ref[b, _RS_TPR]
+            tpg = res_ref[b, _RS_TPG]
+            tpb = res_ref[b, _RS_TPB]
+            t_best = res_ref[b, _RS_T]
+            win = res_ref[b, _RS_WIN]
+            alive = res_ref[b, _RS_ALIVE] > 0.5
+            cxw = res_ref[b, _RS_CX]
+            cyw = res_ref[b, _RS_CY]
+            czw = res_ref[b, _RS_CZ]
+            rw = res_ref[b, _RS_R]
+            kind = res_ref[b, _RS_KIND]
+            ar = res_ref[b, _RS_AR]
+            ag = res_ref[b, _RS_AG]
+            ab = res_ref[b, _RS_AB]
+            fz = res_ref[b, _RS_FZ]
+            irx = res_ref[b, _RS_IR]
 
-                # metal
-                dn = dx * nx + dy * ny + dz * nz
-                rfx = dx - two * dn * nx
-                rfy = dy - two * dn * ny
-                rfz = dz - two * dn * nz
-                mx = rfx + fz * rx
-                my = rfy + fz * ry
-                mz = rfz + fz * rz
-                met_keep = (mx * nx + my * ny + mz * nz) >= 0.0
-                ml = jnp.sqrt(mx * mx + my * my + mz * mz)
-                ml = jnp.where(ml == 0.0, 1.0, ml)
+            # --- recompute forward shading primals ---
+            is_tri = win >= jnp.float32(S) - 0.5
+            trif = jnp.where(is_tri, 1.0, 0.0)
+            sphfm = 1.0 - trif
+            hit = t_best < BIG
+            t_s = jnp.where(hit, t_best, 0.0)
+            hpx = ox + t_s * dx
+            hpy = oy + t_s * dy
+            hpz = oz + t_s * dz
+            neg_r = kind >= 3.5
+            sgn = jnp.where(neg_r, -onef, onef)
+            kind = jnp.where(neg_r, kind - 4.0, kind)
+            ux = hpx - cxw
+            uy = hpy - cyw
+            uz = hpz - czw
+            ulen_raw = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+            ulen = jnp.where(ulen_raw == 0.0, 1.0, ulen_raw)
+            tln = jnp.sqrt(cxw * cxw + cyw * cyw + czw * czw)
+            tln = jnp.where(tln == 0.0, 1.0, tln)
+            tnhx = cxw / tln
+            tnhy = cyw / tln
+            tnhz = czw / tln
+            nx = jnp.where(is_tri, tnhx, (ux / ulen) * sgn)
+            ny = jnp.where(is_tri, tnhy, (uy / ulen) * sgn)
+            nz = jnp.where(is_tri, tnhz, (uz / ulen) * sgn)
 
-                # dielectric
-                inside = dn >= 0.0
-                sgn2 = jnp.where(inside, -onef, onef)
-                nex = sgn2 * nx
-                ney = sgn2 * ny
-                nez = sgn2 * nz
-                ratio = jnp.where(inside, onef / irx, irx)
-                cos_t = -(dx * nex + dy * ney + dz * nez)
-                wx = dx + cos_t * nex
-                wy = dy + cos_t * ney
-                wz = dz + cos_t * nez
-                px = ratio * wx
-                py = ratio * wy
-                pz = ratio * wz
-                pl2 = px * px + py * py + pz * pz
-                amag = jnp.abs(onef - pl2)
-                para = -jnp.sqrt(amag)
-                qx = px + para * nex
-                qy = py + para * ney
-                qz = pz + para * nez
-                ql = jnp.sqrt(qx * qx + qy * qy + qz * qz)
-                ql = jnp.where(ql == 0.0, 1.0, ql)
+            bx, by, bz = _pcg3d(pix_u, s_u, jnp.uint32(1 + b))
+            rx = _u01(bx) * two - onef
+            ry = _u01(by) * two - onef
+            rz = _u01(bz) * two - onef
+            rl = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+            rx, ry, rz = rx / rl, ry / rl, rz / rl
 
-                is_dif = kind < 0.5
-                is_met = (kind >= 0.5) & (kind < 1.5)
-                is_die = (kind >= 1.5) & (kind < 2.5)
-                is_emi = kind >= 2.5
-                scr = jnp.where(is_die, onef, ar)
-                scg = jnp.where(is_die, onef, ag)
-                scb = jnp.where(is_die, onef, ab)
-                term = is_emi | (is_met & ~met_keep)
-                miss = alive & ~hit
-                terminal = alive & hit & term
-                cont = alive & hit & ~term
-                contf = jnp.where(cont, 1.0, 0.0)
-                missf = jnp.where(miss, 1.0, 0.0)
-                termf = jnp.where(terminal, 1.0, 0.0)
+            # diffuse
+            sdx = nx + rx
+            sdy = ny + ry
+            sdz = nz + rz
+            deg = ((jnp.abs(sdx) < 1e-8) & (jnp.abs(sdy) < 1e-8)
+                   & (jnp.abs(sdz) < 1e-8))
+            sl = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
+            sl = jnp.where(sl == 0.0, 1.0, sl)
 
-                # --- adjoints ---
-                # tp' = where(cont, tp*c, tp); rr += miss? tp*sky :
-                #                                     terminal? tp*c : 0
-                tsky = jnp.float32(0.5) * (dy + onef)
-                skyr = onef - tsky * jnp.float32(0.5)
-                skyg = onef - tsky * jnp.float32(0.3)
+            # metal
+            dn = dx * nx + dy * ny + dz * nz
+            rfx = dx - two * dn * nx
+            rfy = dy - two * dn * ny
+            rfz = dz - two * dn * nz
+            mx = rfx + fz * rx
+            my = rfy + fz * ry
+            mz = rfz + fz * rz
+            met_keep = (mx * nx + my * ny + mz * nz) >= 0.0
+            ml = jnp.sqrt(mx * mx + my * my + mz * mz)
+            ml = jnp.where(ml == 0.0, 1.0, ml)
 
-                c_r = contf * a_tr * tpr + termf * gr * tpr
-                c_g = contf * a_tg * tpg + termf * gg * tpg
-                c_b = contf * a_tb * tpb + termf * gb * tpb
-                n_tr = (contf * a_tr * scr + (1.0 - contf) * a_tr
-                        + missf * gr * skyr + termf * gr * scr)
-                n_tg = (contf * a_tg * scg + (1.0 - contf) * a_tg
-                        + missf * gg * skyg + termf * gg * scg)
-                n_tb = (contf * a_tb * scb + (1.0 - contf) * a_tb
-                        + missf * gb + termf * gb * scb)
+            # dielectric
+            inside = dn >= 0.0
+            sgn2 = jnp.where(inside, -onef, onef)
+            nex = sgn2 * nx
+            ney = sgn2 * ny
+            nez = sgn2 * nz
+            ratio = jnp.where(inside, onef / irx, irx)
+            cos_t = -(dx * nex + dy * ney + dz * nez)
+            wx = dx + cos_t * nex
+            wy = dy + cos_t * ney
+            wz = dz + cos_t * nez
+            px = ratio * wx
+            py = ratio * wy
+            pz = ratio * wz
+            pl2 = px * px + py * py + pz * pz
+            amag = jnp.abs(onef - pl2)
+            para = -jnp.sqrt(amag)
+            qx = px + para * nex
+            qy = py + para * ney
+            qz = pz + para * nez
+            ql = jnp.sqrt(qx * qx + qy * qy + qz * qz)
+            ql = jnp.where(ql == 0.0, 1.0, ql)
 
-                # albedo cotangent (dielectric's color is the constant 1)
-                diecf = jnp.where(is_die, 0.0, 1.0)
-                g_ar = diecf * c_r
-                g_ag = diecf * c_g
-                g_ab = diecf * c_b
+            is_dif = kind < 0.5
+            is_met = (kind >= 0.5) & (kind < 1.5)
+            is_die = (kind >= 1.5) & (kind < 2.5)
+            is_emi = kind >= 2.5
+            scr = jnp.where(is_die, onef, ar)
+            scg = jnp.where(is_die, onef, ag)
+            scb = jnp.where(is_die, onef, ab)
+            term = is_emi | (is_met & ~met_keep)
+            miss = alive & ~hit
+            terminal = alive & hit & term
+            cont = alive & hit & ~term
+            contf = jnp.where(cont, 1.0, 0.0)
+            missf = jnp.where(miss, 1.0, 0.0)
+            termf = jnp.where(terminal, 1.0, 0.0)
 
-                # sky: d_bar.y += -0.5*(0.5*skyr_bar + 0.3*skyg_bar)
-                sky_r_bar = missf * gr * tpr
-                sky_g_bar = missf * gg * tpg
-                tsky_bar = -(jnp.float32(0.5) * sky_r_bar
-                             + jnp.float32(0.3) * sky_g_bar)
-                dy_sky = jnp.float32(0.5) * tsky_bar
+            # --- adjoints ---
+            tsky = jnp.float32(0.5) * (dy + onef)
+            skyr = onef - tsky * jnp.float32(0.5)
+            skyg = onef - tsky * jnp.float32(0.3)
 
-                # o' = where(cont, p, o); d' = where(cont, nd, d)
-                p_bx = contf * a_ox
-                p_by = contf * a_oy
-                p_bz = contf * a_oz
-                n_ox = (1.0 - contf) * a_ox
-                n_oy = (1.0 - contf) * a_oy
-                n_oz = (1.0 - contf) * a_oz
-                nd_bx = contf * a_dx
-                nd_by = contf * a_dy
-                nd_bz = contf * a_dz
-                n_dx = (1.0 - contf) * a_dx
-                n_dy = (1.0 - contf) * a_dy + dy_sky
-                n_dz = (1.0 - contf) * a_dz
+            c_r = contf * a_tr * tpr + termf * gr * tpr
+            c_g = contf * a_tg * tpg + termf * gg * tpg
+            c_b = contf * a_tb * tpb + termf * gb * tpb
+            n_tr = (contf * a_tr * scr + (1.0 - contf) * a_tr
+                    + missf * gr * skyr + termf * gr * scr)
+            n_tg = (contf * a_tg * scg + (1.0 - contf) * a_tg
+                    + missf * gg * skyg + termf * gg * scg)
+            n_tb = (contf * a_tb * scb + (1.0 - contf) * a_tb
+                    + missf * gb + termf * gb * scb)
 
-                # nd = select(kind, diffuse/metal/dielectric/normal)
-                dif_f = jnp.where(is_dif, 1.0, 0.0)
-                met_f = jnp.where(is_met, 1.0, 0.0)
-                die_f = jnp.where(is_die, 1.0, 0.0)
-                emi_f = jnp.where(is_emi, 1.0, 0.0)
-                dd_bx = dif_f * nd_bx
-                dd_by = dif_f * nd_by
-                dd_bz = dif_f * nd_bz
-                md_bx = met_f * nd_bx
-                md_by = met_f * nd_by
-                md_bz = met_f * nd_bz
-                ed_bx = die_f * nd_bx
-                ed_by = die_f * nd_by
-                ed_bz = die_f * nd_bz
-                n_nx = emi_f * nd_bx
-                n_ny = emi_f * nd_by
-                n_nz = emi_f * nd_bz
+            # albedo cotangent (dielectric's color is the constant 1)
+            diecf = jnp.where(is_die, 0.0, 1.0)
+            g_ar = diecf * c_r
+            g_ag = diecf * c_g
+            g_ab = diecf * c_b
 
-                # diffuse: sd = where(deg, n, (n+r)/sl)
-                degf = jnp.where(deg, 1.0, 0.0)
-                # normalize adjoint of v = n + r at v_hat = sd
-                vhx = sdx / sl
-                vhy = sdy / sl
-                vhz = sdz / sl
-                dotg = vhx * dd_bx + vhy * dd_by + vhz * dd_bz
-                vb_x = (dd_bx - vhx * dotg) / sl
-                vb_y = (dd_by - vhy * dotg) / sl
-                vb_z = (dd_bz - vhz * dotg) / sl
-                n_nx += degf * dd_bx + (1.0 - degf) * vb_x
-                n_ny += degf * dd_by + (1.0 - degf) * vb_y
-                n_nz += degf * dd_bz + (1.0 - degf) * vb_z
+            # sky: d_bar.y += -0.5*(0.5*skyr_bar + 0.3*skyg_bar)
+            sky_r_bar = missf * gr * tpr
+            sky_g_bar = missf * gg * tpg
+            tsky_bar = -(jnp.float32(0.5) * sky_r_bar
+                         + jnp.float32(0.3) * sky_g_bar)
+            dy_sky = jnp.float32(0.5) * tsky_bar
 
-                # metal: md = m/ml
-                mhx = mx / ml
-                mhy = my / ml
-                mhz = mz / ml
-                dotm = mhx * md_bx + mhy * md_by + mhz * md_bz
-                mb_x = (md_bx - mhx * dotm) / ml
-                mb_y = (md_by - mhy * dotm) / ml
-                mb_z = (md_bz - mhz * dotm) / ml
-                g_fz = mb_x * rx + mb_y * ry + mb_z * rz
-                # refl = d - 2 dn n
-                n_refl = nx * mb_x + ny * mb_y + nz * mb_z
-                n_dx += mb_x - two * nx * n_refl
-                n_dy += mb_y - two * ny * n_refl
-                n_dz += mb_z - two * nz * n_refl
-                n_nx += -two * (dx * n_refl + dn * mb_x)
-                n_ny += -two * (dy * n_refl + dn * mb_y)
-                n_nz += -two * (dz * n_refl + dn * mb_z)
+            # o' = where(cont, p, o); d' = where(cont, nd, d)
+            p_bx = contf * a_ox
+            p_by = contf * a_oy
+            p_bz = contf * a_oz
+            n_ox = (1.0 - contf) * a_ox
+            n_oy = (1.0 - contf) * a_oy
+            n_oz = (1.0 - contf) * a_oz
+            nd_bx = contf * a_dx
+            nd_by = contf * a_dy
+            nd_bz = contf * a_dz
+            n_dx = (1.0 - contf) * a_dx
+            n_dy = (1.0 - contf) * a_dy + dy_sky
+            n_dz = (1.0 - contf) * a_dz
 
-                # dielectric: dd = q/ql
-                qhx = qx / ql
-                qhy = qy / ql
-                qhz = qz / ql
-                dotq = qhx * ed_bx + qhy * ed_by + qhz * ed_bz
-                qb_x = (ed_bx - qhx * dotq) / ql
-                qb_y = (ed_by - qhy * dotq) / ql
-                qb_z = (ed_bz - qhz * dotq) / ql
-                # q = p + para ne
-                pb_x = qb_x
-                pb_y = qb_y
-                pb_z = qb_z
-                para_bar = qb_x * nex + qb_y * ney + qb_z * nez
-                ne_bx = para * qb_x
-                ne_by = para * qb_y
-                ne_bz = para * qb_z
-                # para = -sqrt(|1-pl2|)
-                amag_s = jnp.where(amag == 0.0, 1.0, amag)
-                sgn_a = jnp.where(pl2 <= onef, 1.0, -1.0)
-                pl2_bar = jnp.where(
-                    amag == 0.0, 0.0,
-                    para_bar * sgn_a / (two * jnp.sqrt(amag_s)))
-                pb_x += two * pl2_bar * px
-                pb_y += two * pl2_bar * py
-                pb_z += two * pl2_bar * pz
-                # p = ratio * w
-                ratio_bar = pb_x * wx + pb_y * wy + pb_z * wz
-                wb_x = ratio * pb_x
-                wb_y = ratio * pb_y
-                wb_z = ratio * pb_z
-                # w = d + cos_t ne
-                cos_bar = wb_x * nex + wb_y * ney + wb_z * nez
-                ne_bx += cos_t * wb_x
-                ne_by += cos_t * wb_y
-                ne_bz += cos_t * wb_z
-                n_dx += wb_x
-                n_dy += wb_y
-                n_dz += wb_z
-                # cos_t = -(d . ne)
-                n_dx += -cos_bar * nex
-                n_dy += -cos_bar * ney
-                n_dz += -cos_bar * nez
-                ne_bx += -cos_bar * dx
-                ne_by += -cos_bar * dy
-                ne_bz += -cos_bar * dz
-                # ne = sgn2 n; ratio = inside ? 1/ir : ir
-                n_nx += sgn2 * ne_bx
-                n_ny += sgn2 * ne_by
-                n_nz += sgn2 * ne_bz
-                g_ir = ratio_bar * jnp.where(inside,
-                                             -onef / (irx * irx), onef)
+            # nd = select(kind, diffuse/metal/dielectric/normal)
+            dif_f = jnp.where(is_dif, 1.0, 0.0)
+            met_f = jnp.where(is_met, 1.0, 0.0)
+            die_f = jnp.where(is_die, 1.0, 0.0)
+            emi_f = jnp.where(is_emi, 1.0, 0.0)
+            dd_bx = dif_f * nd_bx
+            dd_by = dif_f * nd_by
+            dd_bz = dif_f * nd_bz
+            md_bx = met_f * nd_bx
+            md_by = met_f * nd_by
+            md_bz = met_f * nd_bz
+            ed_bx = die_f * nd_bx
+            ed_by = die_f * nd_by
+            ed_bz = die_f * nd_bz
+            n_nx = emi_f * nd_bx
+            n_ny = emi_f * nd_by
+            n_nz = emi_f * nd_bz
 
-                # normal: n = sgn * u/ulen
-                n0x = ux / ulen
-                n0y = uy / ulen
-                n0z = uz / ulen
-                nb0x = sgn * n_nx
-                nb0y = sgn * n_ny
-                nb0z = sgn * n_nz
-                dotn = n0x * nb0x + n0y * nb0y + n0z * nb0z
-                ub_x = (nb0x - n0x * dotn) / ulen
-                ub_y = (nb0y - n0y * dotn) / ulen
-                ub_z = (nb0z - n0z * dotn) / ulen
-                # u = p - c
-                p_bx += ub_x
-                p_by += ub_y
-                p_bz += ub_z
-                g_cx = -ub_x
-                g_cy = -ub_y
-                g_cz = -ub_z
+            # diffuse: sd = where(deg, n, (n+r)/sl)
+            degf = jnp.where(deg, 1.0, 0.0)
+            vhx = sdx / sl
+            vhy = sdy / sl
+            vhz = sdz / sl
+            dotg = vhx * dd_bx + vhy * dd_by + vhz * dd_bz
+            vb_x = (dd_bx - vhx * dotg) / sl
+            vb_y = (dd_by - vhy * dotg) / sl
+            vb_z = (dd_bz - vhz * dotg) / sl
+            n_nx += degf * dd_bx + (1.0 - degf) * vb_x
+            n_ny += degf * dd_by + (1.0 - degf) * vb_y
+            n_nz += degf * dd_bz + (1.0 - degf) * vb_z
 
-                # p = o + t d (hit lanes; p==o on miss, fold via hitf)
-                hitf = jnp.where(hit, 1.0, 0.0)
-                n_ox += p_bx
-                n_oy += p_by
-                n_oz += p_bz
-                n_dx += hitf * t_s * p_bx
-                n_dy += hitf * t_s * p_by
-                n_dz += hitf * t_s * p_bz
-                t_bar = hitf * (p_bx * dx + p_by * dy + p_bz * dz)
+            # metal: md = m/ml
+            mhx = mx / ml
+            mhy = my / ml
+            mhz = mz / ml
+            dotm = mhx * md_bx + mhy * md_by + mhz * md_bz
+            mb_x = (md_bx - mhx * dotm) / ml
+            mb_y = (md_by - mhy * dotm) / ml
+            mb_z = (md_bz - mhz * dotm) / ml
+            g_fz = mb_x * rx + mb_y * ry + mb_z * rz
+            n_refl = nx * mb_x + ny * mb_y + nz * mb_z
+            n_dx += mb_x - two * nx * n_refl
+            n_dy += mb_y - two * ny * n_refl
+            n_dz += mb_z - two * nz * n_refl
+            n_nx += -two * (dx * n_refl + dn * mb_x)
+            n_ny += -two * (dy * n_refl + dn * mb_y)
+            n_nz += -two * (dz * n_refl + dn * mb_z)
 
-                # t by implicit differentiation: u.d guard
-                und = ux * dx + uy * dy + uz * dz
-                und = jnp.where(jnp.abs(und) < 1e-12, 1e30, und)
-                inv_und = t_bar / und
-                g_cx += ux * inv_und
-                g_cy += uy * inv_und
-                g_cz += uz * inv_und
-                g_r = rw * inv_und
-                n_ox += -ux * inv_und
-                n_oy += -uy * inv_und
-                n_oz += -uz * inv_und
-                n_dx += -t_s * ux * inv_und
-                n_dy += -t_s * uy * inv_und
-                n_dz += -t_s * uz * inv_und
+            # dielectric: dd = q/ql
+            qhx = qx / ql
+            qhy = qy / ql
+            qhz = qz / ql
+            dotq = qhx * ed_bx + qhy * ed_by + qhz * ed_bz
+            qb_x = (ed_bx - qhx * dotq) / ql
+            qb_y = (ed_by - qhy * dotq) / ql
+            qb_z = (ed_bz - qhz * dotq) / ql
+            pb_x = qb_x
+            pb_y = qb_y
+            pb_z = qb_z
+            para_bar = qb_x * nex + qb_y * ney + qb_z * nez
+            ne_bx = para * qb_x
+            ne_by = para * qb_y
+            ne_bz = para * qb_z
+            amag_s = jnp.where(amag == 0.0, 1.0, amag)
+            sgn_a = jnp.where(pl2 <= onef, 1.0, -1.0)
+            pl2_bar = jnp.where(
+                amag == 0.0, 0.0,
+                para_bar * sgn_a / (two * jnp.sqrt(amag_s)))
+            pb_x += two * pl2_bar * px
+            pb_y += two * pl2_bar * py
+            pb_z += two * pl2_bar * pz
+            ratio_bar = pb_x * wx + pb_y * wy + pb_z * wz
+            wb_x = ratio * pb_x
+            wb_y = ratio * pb_y
+            wb_z = ratio * pb_z
+            cos_bar = wb_x * nex + wb_y * ney + wb_z * nez
+            ne_bx += cos_t * wb_x
+            ne_by += cos_t * wb_y
+            ne_bz += cos_t * wb_z
+            n_dx += wb_x
+            n_dy += wb_y
+            n_dz += wb_z
+            n_dx += -cos_bar * nex
+            n_dy += -cos_bar * ney
+            n_dz += -cos_bar * nez
+            ne_bx += -cos_bar * dx
+            ne_by += -cos_bar * dy
+            ne_bz += -cos_bar * dz
+            n_nx += sgn2 * ne_bx
+            n_ny += sgn2 * ne_by
+            n_nz += sgn2 * ne_bz
+            g_ir = ratio_bar * jnp.where(inside,
+                                         -onef / (irx * irx), onef)
 
-                # mask every per-sphere gradient to lanes that HIT a sphere
-                # this bounce (t/normal/scatter adjoints only exist there)
-                hlive = jnp.where(alive & hit, 1.0, 0.0)
-                g_cx *= hlive
-                g_cy *= hlive
-                g_cz *= hlive
-                g_r *= hlive
-                g_ar *= hlive
-                g_ag *= hlive
-                g_ab *= hlive
-                g_fz *= hlive * met_f
-                g_ir *= hlive * die_f
+            # --- normal cotangent splits by winner type ---
+            # triangle: shading normal = nplane/|nplane| -> normalize
+            # adjoint into the PLANE-normal cotangent (no ray dependence)
+            dotn_t = tnhx * n_nx + tnhy * n_ny + tnhz * n_nz
+            gn_nx = trif * (n_nx - tnhx * dotn_t) / tln
+            gn_ny = trif * (n_ny - tnhy * dotn_t) / tln
+            gn_nz = trif * (n_nz - tnhz * dotn_t) / tln
+            # sphere: n = sgn * u/ulen (normalize adjoint, then u = p - c)
+            n0x = ux / ulen
+            n0y = uy / ulen
+            n0z = uz / ulen
+            nb0x = sgn * n_nx
+            nb0y = sgn * n_ny
+            nb0z = sgn * n_nz
+            dotn = n0x * nb0x + n0y * nb0y + n0z * nb0z
+            ub_x = sphfm * (nb0x - n0x * dotn) / ulen
+            ub_y = sphfm * (nb0y - n0y * dotn) / ulen
+            ub_z = sphfm * (nb0z - n0z * dotn) / ulen
+            p_bx += ub_x
+            p_by += ub_y
+            p_bz += ub_z
+            g_cx = -ub_x
+            g_cy = -ub_y
+            g_cz = -ub_z
 
-                # reduce per-sphere gradients (masked lane sums)
-                def acc_body(si, _):
-                    mwin = jnp.where(win == si.astype(jnp.float32), 1.0, 0.0)
-                    dsph_ref[_G_CX, si] += jnp.sum(mwin * g_cx)
-                    dsph_ref[_G_CY, si] += jnp.sum(mwin * g_cy)
-                    dsph_ref[_G_CZ, si] += jnp.sum(mwin * g_cz)
-                    dsph_ref[_G_R, si] += jnp.sum(mwin * g_r)
-                    dsph_ref[_G_AR, si] += jnp.sum(mwin * g_ar)
-                    dsph_ref[_G_AG, si] += jnp.sum(mwin * g_ag)
-                    dsph_ref[_G_AB, si] += jnp.sum(mwin * g_ab)
-                    dsph_ref[_G_FZ, si] += jnp.sum(mwin * g_fz)
-                    dsph_ref[_G_IR, si] += jnp.sum(mwin * g_ir)
-                    return 0
+            # p = o + t d (hit lanes; p==o on miss, fold via hitf)
+            hitf = jnp.where(hit, 1.0, 0.0)
+            n_ox += p_bx
+            n_oy += p_by
+            n_oz += p_bz
+            n_dx += hitf * t_s * p_bx
+            n_dy += hitf * t_s * p_by
+            n_dz += hitf * t_s * p_bz
+            t_bar = hitf * (p_bx * dx + p_by * dy + p_bz * dz)
 
-                jax.lax.fori_loop(0, n_spheres, acc_body, 0)
+            # --- t cotangent, sphere winners: implicit differentiation ---
+            und = ux * dx + uy * dy + uz * dz
+            und = jnp.where(jnp.abs(und) < 1e-12, 1e30, und)
+            inv_und = sphfm * t_bar / und
+            g_cx += ux * inv_und
+            g_cy += uy * inv_und
+            g_cz += uz * inv_und
+            g_r = rw * inv_und
+            n_ox += -ux * inv_und
+            n_oy += -uy * inv_und
+            n_oz += -uz * inv_und
+            n_dx += -t_s * ux * inv_und
+            n_dy += -t_s * uy * inv_und
+            n_dz += -t_s * uz * inv_und
 
-                # the t/normal adjoints above only apply to hit lanes; on
-                # miss lanes p_b* was already zero (cont=0) so n_o/n_d got
-                # only the pass-through + sky terms.  But the hit-lane o/d
-                # contributions from t/normal must be masked to hit lanes:
-                n_ox = jnp.where(alive & hit, n_ox, (1.0 - contf) * a_ox)
-                n_oy = jnp.where(alive & hit, n_oy, (1.0 - contf) * a_oy)
-                n_oz = jnp.where(alive & hit, n_oz, (1.0 - contf) * a_oz)
-                n_dx = jnp.where(alive & hit, n_dx, (1.0 - contf) * a_dx)
-                n_dy = jnp.where(alive & hit, n_dy,
-                                 (1.0 - contf) * a_dy + dy_sky)
-                n_dz = jnp.where(alive & hit, n_dz, (1.0 - contf) * a_dz)
+            # --- t cotangent, triangle winners: plane equation ---
+            # residual CX..CZ hold the plane normal, R holds d_p
+            tnd = cxw * dx + cyw * dy + czw * dz
+            tnd = jnp.where(jnp.abs(tnd) < 1e-12, 1e30, tnd)
+            inv_tnd = trif * t_bar / tnd
+            g_dp = inv_tnd
+            if parity_plane_sign:
+                dno_bar = inv_tnd      # t = (n.o + d_p)/(n.d)
+            else:
+                dno_bar = -inv_tnd     # t = (d_p - n.o)/(n.d)
+            dnd_bar = -t_s * inv_tnd
+            g_nx = dno_bar * ox + dnd_bar * dx + gn_nx
+            g_ny = dno_bar * oy + dnd_bar * dy + gn_ny
+            g_nz = dno_bar * oz + dnd_bar * dz + gn_nz
+            n_ox += dno_bar * cxw
+            n_oy += dno_bar * cyw
+            n_oz += dno_bar * czw
+            n_dx += dnd_bar * cxw
+            n_dy += dnd_bar * cyw
+            n_dz += dnd_bar * czw
 
-                return (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
-                        n_tr, n_tg, n_tb)
+            # mask every per-primitive gradient to lanes that HIT this
+            # bounce (t/normal/scatter adjoints only exist there)
+            hlive = jnp.where(alive & hit, 1.0, 0.0)
+            g_c1 = hlive * jnp.where(is_tri, g_nx, g_cx)
+            g_c2 = hlive * jnp.where(is_tri, g_ny, g_cy)
+            g_c3 = hlive * jnp.where(is_tri, g_nz, g_cz)
+            g_c4 = hlive * jnp.where(is_tri, g_dp, g_r)
+            g_ar *= hlive
+            g_ag *= hlive
+            g_ab *= hlive
+            g_fz *= hlive * met_f
+            g_ir *= hlive * die_f
 
-            bst0 = (zero, zero, zero, zero, zero, zero, zero, zero, zero)
-            (a_ox, a_oy, a_oz, a_dx, a_dy, a_dz, _, _, _) = \
-                jax.lax.fori_loop(0, depth, bwd_body, bst0)
+            # stream per-lane winner gradients to the HBM slab; the
+            # per-primitive reduction is one XLA scatter-add by winner id
+            grad_ref[0, b * GRAD_PLANES + _GP_WIN] = jnp.where(
+                alive & hit, win, -1.0)
+            grad_ref[0, b * GRAD_PLANES + _GP_C1] = g_c1
+            grad_ref[0, b * GRAD_PLANES + _GP_C2] = g_c2
+            grad_ref[0, b * GRAD_PLANES + _GP_C3] = g_c3
+            grad_ref[0, b * GRAD_PLANES + _GP_R] = g_c4
+            grad_ref[0, b * GRAD_PLANES + _GP_AR] = g_ar
+            grad_ref[0, b * GRAD_PLANES + _GP_AG] = g_ag
+            grad_ref[0, b * GRAD_PLANES + _GP_AB] = g_ab
+            grad_ref[0, b * GRAD_PLANES + _GP_FZ] = g_fz
+            grad_ref[0, b * GRAD_PLANES + _GP_IR] = g_ir
 
-            # camera adjoint: d0 = dvec/|dvec|, o0 = origin
-            dotd = (dx0 * a_dx + dy0 * a_dy + dz0 * a_dz)
-            db_x = (a_dx - dx0 * dotd) / dlen
-            db_y = (a_dy - dy0 * dotd) / dlen
-            db_z = (a_dz - dz0 * dotd) / dlen
-            dcam_ref[0, 0] += jnp.sum(a_ox - db_x)
-            dcam_ref[0, 1] += jnp.sum(a_oy - db_y)
-            dcam_ref[0, 2] += jnp.sum(a_oz - db_z)
-            dcam_ref[0, 3] += jnp.sum(db_x)
-            dcam_ref[0, 4] += jnp.sum(db_y)
-            dcam_ref[0, 5] += jnp.sum(db_z)
-            dcam_ref[0, 6] += jnp.sum(u * db_x)
-            dcam_ref[0, 7] += jnp.sum(u * db_y)
-            dcam_ref[0, 8] += jnp.sum(u * db_z)
-            dcam_ref[0, 9] += jnp.sum(v * db_x)
-            dcam_ref[0, 10] += jnp.sum(v * db_y)
-            dcam_ref[0, 11] += jnp.sum(v * db_z)
-            return carry
+            # the t/normal adjoints above only apply to hit lanes; on miss
+            # lanes the o/d cotangent is the pass-through + sky terms
+            n_ox = jnp.where(alive & hit, n_ox, (1.0 - contf) * a_ox)
+            n_oy = jnp.where(alive & hit, n_oy, (1.0 - contf) * a_oy)
+            n_oz = jnp.where(alive & hit, n_oz, (1.0 - contf) * a_oz)
+            n_dx = jnp.where(alive & hit, n_dx, (1.0 - contf) * a_dx)
+            n_dy = jnp.where(alive & hit, n_dy,
+                             (1.0 - contf) * a_dy + dy_sky)
+            n_dz = jnp.where(alive & hit, n_dz, (1.0 - contf) * a_dz)
 
-        jax.lax.fori_loop(0, spp, per_sample, jnp.int32(0))
+            return (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+                    n_tr, n_tg, n_tb)
+
+        bst0 = (zero, zero, zero, zero, zero, zero, zero, zero, zero)
+        (a_ox, a_oy, a_oz, a_dx, a_dy, a_dz, _, _, _) = \
+            jax.lax.fori_loop(0, depth, bwd_body, bst0)
+
+        # camera adjoint: d0 = dvec/|dvec|, o0 = origin
+        dotd = (dx0 * a_dx + dy0 * a_dy + dz0 * a_dz)
+        db_x = (a_dx - dx0 * dotd) / dlen
+        db_y = (a_dy - dy0 * dotd) / dlen
+        db_z = (a_dz - dz0 * dotd) / dlen
+        dcam_ref[0, 0] += jnp.sum(a_ox - db_x)
+        dcam_ref[0, 1] += jnp.sum(a_oy - db_y)
+        dcam_ref[0, 2] += jnp.sum(a_oz - db_z)
+        dcam_ref[0, 3] += jnp.sum(db_x)
+        dcam_ref[0, 4] += jnp.sum(db_y)
+        dcam_ref[0, 5] += jnp.sum(db_z)
+        dcam_ref[0, 6] += jnp.sum(u * db_x)
+        dcam_ref[0, 7] += jnp.sum(u * db_y)
+        dcam_ref[0, 8] += jnp.sum(u * db_z)
+        dcam_ref[0, 9] += jnp.sum(v * db_x)
+        dcam_ref[0, 10] += jnp.sum(v * db_y)
+        dcam_ref[0, 11] += jnp.sum(v * db_z)
 
     return kernel
 
@@ -709,23 +797,29 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, block_rows,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
-                     "block_rows", "interpret", "shard_rows"))
-def render_grad_pallas(sph_table, g_image, cam_vec, *, width, height,
-                       samples_per_pixel, depth, seed=0, block_rows=32,
+                     "block_rows", "parity_plane_sign", "interpret",
+                     "shard_rows"))
+def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
+                       height, samples_per_pixel, depth, seed=0,
+                       block_rows=32, parity_plane_sign=True,
                        interpret=False, shard_rows=None, row_offset=0):
-    """Backward pass of the fused renderer for sphere-only scenes.
+    """Backward pass of the fused renderer.
 
     g_image: [rows, W, 3] cotangent of the mean linear radiance (rows =
-    shard_rows or height).  Returns (dsph (9, S) — rows cx, cy, cz, r,
-    albedo rgb, fuzz, ir — and dcam (12,) matching camera_vec layout).
+    shard_rows or height).  Returns (dsph (9, S) f32 — rows cx, cy, cz, r,
+    albedo rgb, fuzz, ir — dtri (TRI_ROWS, T) f32 — the cotangent of the
+    PACKED triangle table, chain through pack_triangles_jnp's VJP for
+    vertex/material gradients — and dcam (12,) matching camera_vec).
     """
     if shard_rows is None:
         shard_rows = height
+    spp = samples_per_pixel
     ntx = pl.cdiv(width, LANES)
     nty = pl.cdiv(shard_rows, block_rows)
     nblocks = ntx * nty
     rows_total = nty * block_rows
     n_spheres = sph_table.shape[1]
+    n_tris = tri_table.shape[1]
 
     # tile the cotangent into the kernel's (3, rows_total, LANES) layout —
     # the inverse of the forward un-tiling
@@ -734,29 +828,28 @@ def render_grad_pallas(sph_table, g_image, cam_vec, *, width, height,
                     (0, ntx * LANES - width)))
     g = g.reshape(3, nty, block_rows, ntx, LANES)
     g = g.transpose(0, 1, 3, 2, 4).reshape(3, rows_total * ntx, LANES)
-    # blocks advance over (nty, ntx) pairs: block i covers rows
-    # [i*block_rows, (i+1)*block_rows) of this flattened layout
 
-    kernel = _make_bwd_kernel(width, height, samples_per_pixel, depth,
-                              n_spheres, block_rows, shard_rows=shard_rows)
+    kernel = _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
+                              block_rows, parity_plane_sign,
+                              shard_rows=shard_rows)
 
     seed_arr = jnp.stack([
         jnp.uint32(seed) * _SEED_MIX,
         jnp.asarray(row_offset, jnp.int32).astype(jnp.uint32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nblocks,),
+        num_scalar_prefetch=4,
+        grid=(spp, nblocks),
         in_specs=[
             pl.BlockSpec((3, block_rows, LANES),
-                         lambda i, *prefetch: (0, i, 0),
+                         lambda s, i, *prefetch: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((GRAD_ROWS, n_spheres),
-                         lambda i, *prefetch: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 12), lambda i, *prefetch: (0, 0),
+            pl.BlockSpec((1, depth * GRAD_PLANES, block_rows, LANES),
+                         lambda s, i, *prefetch: (s * nblocks + i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12), lambda s, i, *prefetch: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
@@ -764,13 +857,47 @@ def render_grad_pallas(sph_table, g_image, cam_vec, *, width, height,
         ],
     )
 
-    dsph, dcam = pl.pallas_call(
+    slab, dcam = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((GRAD_ROWS, n_spheres), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (spp * nblocks, depth * GRAD_PLANES, block_rows, LANES),
+                jnp.float32),
             jax.ShapeDtypeStruct((1, 12), jnp.float32),
         ],
         interpret=interpret,
-    )(cam_vec, sph_table, seed_arr, g)
-    return dsph, dcam[0]
+    )(cam_vec, sph_table, tri_table, seed_arr, g)
+
+    # ---- per-primitive reduction: scatter-add by winner id ---------------
+    S, T = n_spheres, n_tris
+    lanes = slab.reshape(spp * nblocks, depth, GRAD_PLANES,
+                         block_rows * LANES)
+    lanes = lanes.transpose(2, 0, 1, 3).reshape(GRAD_PLANES, -1)
+    w = lanes[_GP_WIN].astype(jnp.int32)
+    is_sph = (w >= 0) & (w < S)
+    is_tri = w >= S
+    wsph = jnp.where(is_sph, w, S)                       # S = dump row
+    wtri = jnp.where(is_tri, w - S, T)                   # T = dump row
+
+    sph_g = jnp.stack([lanes[q] for q in
+                       (_GP_C1, _GP_C2, _GP_C3, _GP_R, _GP_AR, _GP_AG,
+                        _GP_AB, _GP_FZ, _GP_IR)], axis=-1)
+    sph_g = jnp.where(is_sph[:, None], sph_g, 0.0)
+    dsph = jnp.zeros((S + 1, 9), jnp.float32).at[wsph].add(sph_g)
+    dsph = dsph[:S].T                                    # (9, S)
+
+    # EXTRA row cotangent = d_fuzz + d_ir (one of them is zero by kind)
+    extra_g = lanes[_GP_FZ] + lanes[_GP_IR]
+    tri_g = jnp.stack([lanes[_GP_C1], lanes[_GP_C2], lanes[_GP_C3],
+                       lanes[_GP_R], extra_g,
+                       lanes[_GP_AR], lanes[_GP_AG], lanes[_GP_AB]],
+                      axis=-1)
+    tri_g = jnp.where(is_tri[:, None], tri_g, 0.0)
+    acc = jnp.zeros((T + 1, 8), jnp.float32).at[wtri].add(tri_g)
+    acc = acc[:T].T                                      # (8, T)
+    dtri = jnp.zeros((TRI_ROWS, T), jnp.float32)
+    dtri = dtri.at[jnp.asarray([_TRI_NX, _TRI_NY, _TRI_NZ, _TRI_D,
+                                _TRI_EXTRA,
+                                _TRI_AR, _TRI_AG, _TRI_AB])].set(acc)
+    return dsph, dtri, dcam[0]

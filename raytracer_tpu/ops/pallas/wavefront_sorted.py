@@ -50,7 +50,8 @@ from ...scene import Scene
 from .wavefront import (
     LANES, TRI_ROWS, BIG, _SEED_MIX, _BOUND_PAD,
     _bound_test, _make_tri_body, _pcg3d, _scatter_bookkeep,
-    _sphere_loop, _sphere_normals, _median_split_order, pack_triangles,
+    _sphere_loop, _sphere_normals, _resolve_tri_normals,
+    _median_split_order, pack_triangles,
 )
 from .wavefront_stream import TRI_ROWS_PAD, sorted_top_order
 
@@ -334,7 +335,7 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
 
         wst = jax.lax.while_loop(walk_cond, walk_body,
                                  (jnp.int32(0),) + hs)
-        hs = wst[1:]
+        hs = _resolve_tri_normals(wst[1:])
         t_best = hs[0]
         hpx = ox + t_best * dx
         hpy = oy + t_best * dy

@@ -52,8 +52,8 @@ from ...scene import Scene
 from .wavefront import (
     LANES, SPH_ROWS, TRI_ROWS, BIG, _SEED_MIX,
     _block_pixel_setup, _bound_test, _make_tri_body, _pcg3d, _scatter_bookkeep,
-    _sphere_loop, _sphere_normals, _u01, _median_split_order, _BOUND_PAD,
-    pack_triangles,
+    _sphere_loop, _sphere_normals, _resolve_tri_normals, _u01,
+    _median_split_order, _BOUND_PAD, pack_triangles,
 )
 
 LEAF = 128  # leaf width = one lane row of the HBM table (aligned DMA slices)
@@ -296,7 +296,7 @@ def _make_stream_kernel(width, height, spp, depth, n_spheres, block_rows,
 
                 wst = jax.lax.while_loop(walk_cond, walk_body,
                                          (jnp.int32(0),) + hs)
-                hs = wst[1:]
+                hs = _resolve_tri_normals(wst[1:])
                 t_best = hs[0]
                 hpx = ox + t_best * dx
                 hpy = oy + t_best * dy

@@ -37,10 +37,17 @@ class TestResolveDispatch:
         engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True)
         assert (engine, pps, warn) == ("pallas", False, None)
 
-    def test_big_mesh_defaults_to_streamed_kernel(self):
+    def test_big_mesh_defaults_to_sorted_engine(self):
         scene = big_mesh_scene()
         engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True)
-        assert (engine, pps, warn) == ("pallas_stream", False, None)
+        assert (engine, pps, warn) == ("pallas_sorted", False, None)
+
+    def test_obj_scene_prefers_sorted_over_smem_kernel(self):
+        # 10k tris fits the SMEM megakernel, but divergent secondaries
+        # make the sorted per-bounce engine the faster choice
+        scene, _ = rt.models.obj_mesh_scene()
+        engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True)
+        assert (engine, pps, warn) == ("pallas_sorted", False, None)
 
     def test_big_mesh_explicit_parity_warns_loudly(self):
         # honoring an explicit parity_plane_sign=True costs ~100x: the

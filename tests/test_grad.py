@@ -283,8 +283,73 @@ class TestBackwardKernel:
             scale = max(np.abs(a).max(), 1e-8)
             assert np.abs(a - b).max() <= 5e-3 * scale + 1e-7, f
 
-    def test_ineligible_scene_falls_back(self):
-        # triangle scene -> bwd kernel ineligible, XLA backward used
+    def test_triangle_grads_match_xla_ad(self, ffi_world):
+        # VERDICT r2 item 2: the kernel backward must cover triangle
+        # scenes — vertex gradients chain through pack_triangles_jnp's VJP
+        scene, cam = ffi_world.to_scene(), ffi_world.to_camera()
+        from raytracer_tpu.ops import diff as diff_mod
+        assert diff_mod.bwd_kernel_eligible(scene)
+        W, H = 24, 16
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=3, seed=11)
+        params = gradmod.extract_params(
+            scene, ["tri_v0", "tri_v1", "tri_v2", "sphere_center",
+                    "mat_color"])
+        params = jax.tree.map(lambda x: x + 0.015, params)
+        loss_x = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                      samples_per_pixel=2, depth=3, seed=11)
+        loss_k = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                      samples_per_pixel=2, depth=3, seed=11,
+                                      engine="pallas", interpret=True)
+        v1, g1 = jax.value_and_grad(loss_x)(params)
+        v2, g2 = jax.jit(jax.value_and_grad(loss_k))(params)
+        assert abs(float(v1) - float(v2)) < 1e-5
+        for k in params:
+            a, b = np.asarray(g1[k]), np.asarray(g2[k])
+            scale = max(np.abs(a).max(), 1e-8)
+            assert np.abs(a - b).max() <= 5e-3 * scale + 1e-7, k
+
+    def test_triangle_grads_parity_plane_sign_false(self):
+        # same comparison under the CORRECT plane equation (the OBJ /
+        # procedural-mesh configuration) — exercises the other t-adjoint
         scene, cam = rt.models.mesh_scene(subdivisions=0)
+        from raytracer_tpu.ops import diff as diff_mod
+        assert diff_mod.bwd_kernel_eligible(scene)
+        W, H = 16, 12
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=1, depth=2, seed=2,
+                                     parity_plane_sign=False)
+        params = gradmod.extract_params(scene, ["tri_v0", "tri_v1",
+                                                "tri_v2"])
+        params = jax.tree.map(lambda x: x + 0.01, params)
+        loss_x = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                      samples_per_pixel=1, depth=2, seed=2,
+                                      parity_plane_sign=False)
+        loss_k = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                      samples_per_pixel=1, depth=2, seed=2,
+                                      parity_plane_sign=False,
+                                      engine="pallas", interpret=True)
+        v1, g1 = jax.value_and_grad(loss_x)(params)
+        v2, g2 = jax.jit(jax.value_and_grad(loss_k))(params)
+        assert abs(float(v1) - float(v2)) < 1e-5
+        for k in params:
+            a, b = np.asarray(g1[k]), np.asarray(g2[k])
+            scale = max(np.abs(a).max(), 1e-8)
+            assert np.abs(a - b).max() <= 5e-3 * scale + 1e-7, k
+
+    def test_obj_scene_runs_kernel_backward(self):
+        # VERDICT r2 item 2 "done" bar: inverse rendering of the OBJ scene
+        # runs the kernel backward (10k tris — over the old gates)
+        scene, cam = rt.models.obj_mesh_scene()
+        from raytracer_tpu.ops import diff as diff_mod
+        assert diff_mod.bwd_kernel_eligible(scene)
+
+    def test_oversize_scene_falls_back(self):
+        # >10.5k tris exceeds the SMEM table budget -> XLA backward
+        from raytracer_tpu.models.builders import icosphere_mesh
+        from raytracer_tpu.scene import build_materials, build_scene, DIFFUSE
+        tris = icosphere_mesh((0.0, 0.0, -1.2), 0.5, 0, 5)  # 20480 tris
+        mats = build_materials([(DIFFUSE, (0.7, 0.3, 0.3), 0.0, 1.0)])
+        scene = build_scene([], tris, mats, exact_planes=True)
         from raytracer_tpu.ops import diff as diff_mod
         assert not diff_mod.bwd_kernel_eligible(scene)
