@@ -45,16 +45,17 @@ def make_loss_fn(scene: Scene, camera: Camera, target_linear, *,
     """loss(params) -> scalar.  With ``mesh``, rendering (and therefore the
     backward pass, including the automatic gradient psum) is sharded.
 
-    engine "pallas" (or "auto" on TPU when the scene fits) runs the FORWARD
-    render through the fused megakernel via its custom VJP
-    (ops/diff.render_linear_diff) — the backward pass re-linearizes the XLA
-    wavefront renderer.  Single-device only; with ``mesh`` the XLA path is
-    used regardless.
+    engine "pallas" (or "auto" on TPU when the scene fits) runs the render
+    through the fused megakernel via its custom VJP
+    (ops/diff.render_linear_diff): kernel forward, and the hand-derived
+    kernel backward when the scene is eligible (else XLA recompute).
+    With ``mesh`` the same custom-VJP path runs under shard_map
+    (render_linear_diff_sharded) — kernel-speed forward AND backward per
+    device with automatic gradient psum.
     """
     if engine == "auto":
         from .. import ops as ops_mod
-        engine = ("pallas" if mesh is None and ops_mod.can_use_pallas(scene)
-                  else "xla")
+        engine = "pallas" if ops_mod.can_use_pallas(scene) else "xla"
 
     from ..ops import diff as diff_mod
     bwd_engine = ("pallas" if engine == "pallas"
@@ -62,7 +63,14 @@ def make_loss_fn(scene: Scene, camera: Camera, target_linear, *,
 
     def loss(params):
         s = apply_params(scene, params)
-        if mesh is None and engine == "pallas":
+        if mesh is not None and engine == "pallas":
+            from ..parallel.sharding import render_linear_diff_sharded
+            img = render_linear_diff_sharded(
+                s, camera, mesh=mesh, width=width, height=height,
+                samples_per_pixel=samples_per_pixel, depth=depth,
+                seed=seed, parity_plane_sign=parity_plane_sign,
+                interpret=interpret, bwd_engine=bwd_engine)
+        elif mesh is None and engine == "pallas":
             img = diff_mod.render_linear_diff(
                 s, camera, (width, height, samples_per_pixel, depth, seed,
                             parity_plane_sign, interpret, bwd_engine))

@@ -138,7 +138,8 @@ def scene_tables(scene: Scene, parity_plane_sign: bool):
 def scene_sorted_tables(scene: Scene):
     """Packed tables for the sorted per-bounce engine, cached on scene
     identity: (sph_table, sph_clusters, tri_hbm, sub_bounds, sub_counts,
-    grp_bounds, top_bounds, top_ranges, root, key_lo, key_hi)."""
+    grp_bounds, top_bounds, top_ranges, root, node_orders, node_keys,
+    key_lo, key_hi)."""
     global pack_events
     key = (id(scene), "sorted")
     hit = _TABLE_CACHE.get(key)
@@ -167,13 +168,14 @@ def sorted_smem_bytes(scene: Scene) -> int:
     from .pallas import wavefront_stream as ws
     from .pallas import wavefront_sorted as wso
     (sph, sph_cl, tri_hbm, subb, subn, grpb, topb, topr,
-     root, _klo, _khi) = scene_sorted_tables(scene)
+     root, norder, nkeys, _klo, _khi) = scene_sorted_tables(scene)
     n_tops = topb.shape[1]
     smem = 4 * (sph.size + subb.size + subn.size + grpb.size
                 + topb.size + topr.size
                 + 2 * n_tops                    # top_order + top_keys
-                + root.size + 1                 # root + binfo
-                + ws.TRI_ROWS_PAD * wso.GROUP)  # DMA'd group scratch
+                + norder.size + nkeys.size       # secondary-exit tables
+                + root.size + 1                  # root + binfo
+                + ws.TRI_ROWS_PAD * wso.TOP_SPAN)  # per-top DMA scratch
     if sph_cl is not None:
         smem += 4 * (sph_cl[0].size + sph_cl[1].size)
     return smem
@@ -302,12 +304,13 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
         from .pallas import wavefront as wf
         from .pallas import wavefront_sorted as wso
         (sph, sph_cl, tri_hbm, subb, subn, grpb, topb, topr,
-         root, klo, khi) = scene_sorted_tables(scene)
+         root, norder, nkeys, klo, khi) = scene_sorted_tables(scene)
         cv = wf.camera_vec(camera)
         order, keys = wso.sorted_top_order(np.asarray(topb),
                                            np.asarray(camera.origin))
         return wso.render_linear_pallas_sorted(
-            sph, tri_hbm, subb, subn, grpb, topb, topr, root, klo, khi,
+            sph, tri_hbm, subb, subn, grpb, topb, topr, root,
+            norder, nkeys, klo, khi,
             cv, width=width, height=height,
             samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
             sph_clusters=sph_cl, top_order=jnp.asarray(order),

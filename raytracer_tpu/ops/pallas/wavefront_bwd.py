@@ -105,10 +105,13 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
         ty = blk // ntx
         tx = blk - ty * ntx
         row_offset = seed_ref[1].astype(jnp.int32)
+        row_stride = seed_ref[2].astype(jnp.int32)
         lane_row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         band_row = ty * R + lane_row
-        prow = row_offset + band_row
+        # interleaved row assignment under sharding: global rows
+        # offset, offset+stride, ... (mirrors the forward kernels)
+        prow = row_offset + band_row * row_stride
         pcol = tx * LANES + lane_col
         active0 = (prow < height) & (pcol < width) & (band_row < shard_rows)
         prow = jnp.minimum(prow, height - 1)
@@ -802,7 +805,8 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
 def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
                        height, samples_per_pixel, depth, seed=0,
                        block_rows=32, parity_plane_sign=True,
-                       interpret=False, shard_rows=None, row_offset=0):
+                       interpret=False, shard_rows=None, row_offset=0,
+                       row_stride=1):
     """Backward pass of the fused renderer.
 
     g_image: [rows, W, 3] cotangent of the mean linear radiance (rows =
@@ -835,7 +839,8 @@ def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
 
     seed_arr = jnp.stack([
         jnp.uint32(seed) * _SEED_MIX,
-        jnp.asarray(row_offset, jnp.int32).astype(jnp.uint32)])
+        jnp.asarray(row_offset, jnp.int32).astype(jnp.uint32),
+        jnp.asarray(row_stride, jnp.int32).astype(jnp.uint32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -56,9 +56,13 @@ from .wavefront import (
 from .wavefront_stream import TRI_ROWS_PAD, sorted_top_order
 
 SUB = 32          # triangles per sub-leaf (cull granularity)
-GROUP_SUBS = 4    # sub-leaves per 128-column DMA group
-GROUP = SUB * GROUP_SUBS   # = LANES: one aligned DMA slice
-TOP_GROUPS = 8    # DMA groups per top node (1024 columns)
+GROUP_SUBS = 4    # sub-leaves per 128-column group
+GROUP = SUB * GROUP_SUBS   # = LANES: one lane-aligned column block
+TOP_GROUPS = 8    # groups per top node (1024 columns)
+# One DMA per PASSING TOP (1024 columns, ~96 KB) instead of per group:
+# start/wait latency amortizes 8x, and the group/sub-leaf bound tests then
+# run against SMEM-resident data
+TOP_SPAN = TOP_GROUPS * GROUP
 
 # ray-state plane indices (f32 planes carried between bounces)
 (_ST_OX, _ST_OY, _ST_OZ, _ST_DX, _ST_DY, _ST_DZ,
@@ -82,6 +86,7 @@ def build_tri_sorted_tables(scene: Scene):
     Returns (tri_hbm (TRI_ROWS_PAD, L*SUB) f32, sub_bounds (4, L) f32,
     sub_counts (1, L) i32, grp_bounds (4, G) f32, top_bounds (4, C) f32,
     top_ranges (2, C) i32 [group ranges], root (4, 1) f32,
+    node_orders (C, C) i32, node_keys (C, C) f32,
     key_lo (3,) f32, key_hi (3,) f32).
 
     Sub-leaves are median-split spatial clusters of <= 32 valid triangles
@@ -91,6 +96,15 @@ def build_tri_sorted_tables(scene: Scene):
     per side — the quantization box for the inter-bounce Morton sort keys
     (origins outside clamp to boundary cells, which still separates them
     in the unclamped axes).
+
+    node_orders/node_keys drive the SECONDARY-bounce front-to-back early
+    exit: row i is the top-node visit order from reference point c_i (top
+    node i's center), with keys[i, j] = dist(c_i, c_j) - r_j — for a ray
+    whose origin o satisfies dist(o, c_i) <= dmax, its entry distance
+    into node j is >= keys[i, j] - dmax, so a block can stop its walk
+    once every relevant lane's closest hit beats that adjusted bound
+    (the kernel picks i nearest its live-origin centroid and computes
+    dmax as a lane reduction).
     """
     v0 = np.asarray(scene.tri_v0, np.float64)
     v1 = np.asarray(scene.tri_v1, np.float64)
@@ -101,9 +115,10 @@ def build_tri_sorted_tables(scene: Scene):
     perm_v, slices = _median_split_order(cen[vidx], SUB)
     perm_valid = vidx[perm_v]
     n_sub = max(len(slices), 1)
-    L = -(-n_sub // GROUP_SUBS) * GROUP_SUBS
+    # pad to a full TOP span so the per-top DMA never reads past the table
+    L = -(-n_sub // (GROUP_SUBS * TOP_GROUPS)) * (GROUP_SUBS * TOP_GROUPS)
     G = L // GROUP_SUBS
-    C = max(-(-G // TOP_GROUPS), 1)
+    C = max(G // TOP_GROUPS, 1)
 
     packed = pack_triangles(scene, perm=np.concatenate(
         [perm_valid, np.nonzero(~valid)[0]]).astype(np.int64))
@@ -167,6 +182,18 @@ def build_tri_sorted_tables(scene: Scene):
         root[0:3, 0] = bc
         root[3, 0] = br * br
 
+    centers = top_bounds[0:3]                    # (3, C)
+    rads = np.sqrt(np.maximum(top_bounds[3], 0.0))
+    valid_top = top_bounds[3] > 0.0
+    node_orders = np.zeros((C, C), np.int32)
+    node_keys = np.zeros((C, C), np.float32)
+    for i in range(C):
+        d = np.linalg.norm(centers.T - centers[:, i], axis=1)
+        keys = np.where(valid_top, d - rads, np.inf)
+        order = np.argsort(keys, kind="stable").astype(np.int32)
+        node_orders[i] = order
+        node_keys[i] = keys[order].astype(np.float32)
+
     if len(vidx):
         verts = np.concatenate(
             [v0[vidx], v1[vidx], v2[vidx]], axis=0)
@@ -179,7 +206,7 @@ def build_tri_sorted_tables(scene: Scene):
         key_lo = np.full(3, -1.0, np.float32)
         key_hi = np.full(3, 1.0, np.float32)
     return (tri_hbm, sub_bounds, sub_counts, grp_bounds, top_bounds,
-            top_ranges, root, key_lo, key_hi)
+            top_ranges, root, node_orders, node_keys, key_lo, key_hi)
 
 
 # ---------------------------------------------------------------------------
@@ -239,15 +266,23 @@ def _sort_keys(state, key_lo, key_hi):
 # ---------------------------------------------------------------------------
 
 def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
-                        use_exit):
+                        use_exit, node_exit):
     """One bounce for a (block_rows x 128)-ray block: sphere loop +
-    sub-leaf streamed triangle walk + scatter.  ``use_exit`` statically
-    enables the front-to-back early exit (valid only when every live ray
-    shares the origin the keys were sorted from — bounce 0)."""
+    sub-leaf streamed triangle walk + scatter.
+
+    ``use_exit`` statically enables the camera-keyed front-to-back early
+    exit (valid only when every live ray shares the origin the keys were
+    sorted from — bounce 0).  ``node_exit`` enables the SECONDARY-bounce
+    exit: the block picks the top node nearest its live-origin centroid
+    as reference point i, walks in node_orders[i] order, and stops when
+    every relevant lane's closest hit beats node_keys[i, j] - dmax
+    (dmax = max live-origin distance to c_i — the conservative correction
+    for origins not exactly at the reference point)."""
     R = block_rows
 
     def kernel(sph_ref, sphc_b_ref, sphc_r_ref, subb_ref, subn_ref,
-               grpb_ref, topb_ref, topr_ref, order_ref, keys_ref, root_ref,
+               grpb_ref, topb_ref, topr_ref, order_ref, keys_ref,
+               norder_ref, nkeys_ref, root_ref,
                binfo_ref, state_ref, ids_ref, tri_hbm, out_ref, tri_smem,
                dma_sem):
         b = binfo_ref[0]
@@ -284,53 +319,92 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
         root_p = _bound_test(root_ref, 0, ox, oy, oz, dx, dy, dz,
                              jnp.full((R, LANES), BIG), alive)
 
-        def grp_body(g, hs):
-            t_best = hs[0]
-            possible = _bound_test(grpb_ref, g, ox, oy, oz, dx, dy, dz,
-                                   t_best, alive)
-            any_g = jnp.max(jnp.where(possible, 1.0, 0.0))
+        if node_exit:
+            # reference node = top center nearest the live-origin centroid
+            live_cnt = jnp.maximum(jnp.sum(alive_f), 1.0)
+            ccx = jnp.sum(ox * alive_f) / live_cnt
+            ccy = jnp.sum(oy * alive_f) / live_cnt
+            ccz = jnp.sum(oz * alive_f) / live_cnt
 
-            @pl.when(any_g > 0.0)
-            def _():
-                dma = pltpu.make_async_copy(
-                    tri_hbm.at[:, pl.ds(g * GROUP, GROUP)],
-                    tri_smem, dma_sem)
-                dma.start()
-                dma.wait()
+            def near_body(i, carry):
+                best_d2, best_i = carry
+                ddx = topb_ref[0, i] - ccx
+                ddy = topb_ref[1, i] - ccy
+                ddz = topb_ref[2, i] - ccz
+                d2 = ddx * ddx + ddy * ddy + ddz * ddz
+                d2 = jnp.where(topb_ref[3, i] > 0.0, d2, jnp.float32(3e38))
+                better = d2 < best_d2
+                return (jnp.where(better, d2, best_d2),
+                        jnp.where(better, i, best_i))
 
-            def sub_body(k, hs):
-                li = g * GROUP_SUBS + k
-                psub = _bound_test(subb_ref, li, ox, oy, oz, dx, dy, dz,
-                                   hs[0], alive)
-                any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
-                n = jnp.where((any_s > 0.0) & (any_g > 0.0),
-                              subn_ref[0, li], 0)
-                return jax.lax.fori_loop(k * SUB, k * SUB + n, tri_body, hs)
+            _, ref_i = jax.lax.fori_loop(
+                0, n_tops, near_body, (jnp.float32(3e38), jnp.int32(0)))
+            rdx = ox - topb_ref[0, ref_i]
+            rdy = oy - topb_ref[1, ref_i]
+            rdz = oz - topb_ref[2, ref_i]
+            d2o = rdx * rdx + rdy * rdy + rdz * rdz
+            dmax = jnp.sqrt(jnp.max(jnp.where(alive, d2o, 0.0)))
 
-            return jax.lax.fori_loop(0, GROUP_SUBS, sub_body, hs)
+        def make_grp_body(g0r):
+            def grp_body(g, hs):
+                t_best = hs[0]
+                possible = _bound_test(grpb_ref, g, ox, oy, oz, dx, dy, dz,
+                                       t_best, alive)
+                any_g = jnp.max(jnp.where(possible, 1.0, 0.0))
+                base = (g - g0r) * GROUP
+
+                def sub_body(k, hs):
+                    li = g * GROUP_SUBS + k
+                    psub = _bound_test(subb_ref, li, ox, oy, oz, dx, dy,
+                                       dz, hs[0], alive)
+                    any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
+                    n = jnp.where((any_s > 0.0) & (any_g > 0.0),
+                                  subn_ref[0, li], 0)
+                    off = base + k * SUB
+                    return jax.lax.fori_loop(off, off + n, tri_body, hs)
+
+                return jax.lax.fori_loop(0, GROUP_SUBS, sub_body, hs)
+            return grp_body
 
         def walk_cond(wst):
             oi, hs = wst[0], wst[1:]
             t_best = hs[0]
             relevant_t = jnp.where(root_p, t_best, -BIG)
+            oi_safe = jnp.minimum(oi, n_tops - 1)
             if use_exit:
-                oi_safe = jnp.minimum(oi, n_tops - 1)
                 # >= keeps entry-bound ties walking so exact-tie closest
                 # hits resolve like the full walk (wavefront_stream.py)
                 return ((oi < n_tops)
                         & (jnp.max(relevant_t) >= keys_ref[0, oi_safe]))
+            if node_exit:
+                exit_key = nkeys_ref[ref_i, oi_safe] - dmax
+                return ((oi < n_tops)
+                        & (jnp.max(relevant_t) >= exit_key))
             return ((oi < n_tops)
                     & (jnp.max(relevant_t) >= jnp.float32(-1.0)))
 
         def walk_body(wst):
             oi, hs = wst[0], wst[1:]
-            ci = order_ref[0, oi]
+            if node_exit and not use_exit:
+                ci = norder_ref[ref_i, oi]
+            else:
+                ci = order_ref[0, oi]
             possible = _bound_test(topb_ref, ci, ox, oy, oz, dx, dy, dz,
                                    hs[0], alive)
             any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
-            g0 = jnp.where(any_p > 0.0, topr_ref[0, ci], 0)
+            g0r = topr_ref[0, ci]
+
+            @pl.when(any_p > 0.0)
+            def _():
+                dma = pltpu.make_async_copy(
+                    tri_hbm.at[:, pl.ds(g0r * GROUP, TOP_SPAN)],
+                    tri_smem, dma_sem)
+                dma.start()
+                dma.wait()
+
+            g0 = jnp.where(any_p > 0.0, g0r, 0)
             g1 = jnp.where(any_p > 0.0, topr_ref[1, ci], 0)
-            hs = jax.lax.fori_loop(g0, g1, grp_body, hs)
+            hs = jax.lax.fori_loop(g0, g1, make_grp_body(g0r), hs)
             return (oi + 1,) + hs
 
         wst = jax.lax.while_loop(walk_cond, walk_body,
@@ -364,10 +438,10 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
 
 
 def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
-                 interpret):
+                 node_exit, interpret):
     """Launch one bounce over (STATE_PLANES, rows, LANES) state."""
     (sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
-     root, tri_hbm) = tables
+     norder, nkeys, root, tri_hbm) = tables
     rows = state3.shape[1]
     nblocks = rows // block_rows
     n_spheres = sph.shape[1]
@@ -376,13 +450,17 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
         sphc_b = jnp.zeros((4, 1), jnp.float32)
         sphc_r = jnp.zeros((2, 1), jnp.int32)
     n_tops = topb.shape[1]
+    node_exit = node_exit and norder.shape[0] == n_tops
+    if not node_exit:
+        norder = jnp.zeros((1, 1), jnp.int32)
+        nkeys = jnp.zeros((1, 1), jnp.float32)
 
     kernel = _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops,
-                                 block_rows, use_exit)
+                                 block_rows, use_exit, node_exit)
     binfo = jnp.asarray(b, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=12,
+        num_scalar_prefetch=14,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((STATE_PLANES, block_rows, LANES),
@@ -397,7 +475,7 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
                                lambda i, *prefetch: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((TRI_ROWS_PAD, GROUP), jnp.float32),
+            pltpu.SMEM((TRI_ROWS_PAD, TOP_SPAN), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -408,7 +486,7 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
                                        jnp.float32),
         interpret=interpret,
     )(sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
-      root, binfo, state3, ids3, tri_hbm)
+      norder, nkeys, root, binfo, state3, ids3, tri_hbm)
 
 
 # ---------------------------------------------------------------------------
@@ -418,19 +496,21 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
-                     "block_rows", "interpret"))
+                     "block_rows", "interpret", "node_exit"))
 def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
                                 grp_bounds, top_bounds, top_ranges,
-                                root_bound, key_lo, key_hi, cam_vec, *,
+                                root_bound, node_orders, node_keys,
+                                key_lo, key_hi, cam_vec, *,
                                 width, height, samples_per_pixel, depth,
                                 seed=0, block_rows=8, interpret=False,
                                 sph_clusters=None, top_order=None,
-                                top_keys=None):
+                                top_keys=None, node_exit=True):
     """Mean linear radiance [H, W, 3] + segment count via the sorted
     per-bounce pipeline.  Table args come from pack_spheres +
     build_tri_sorted_tables; top_order/top_keys from
     ``sorted_top_order(top_bounds, camera.origin)`` drive the bounce-0
-    front-to-back early exit.  Always the CORRECT plane equation."""
+    front-to-back early exit, node_orders/node_keys the secondary-bounce
+    one.  Always the CORRECT plane equation."""
     spp = samples_per_pixel
     side = 1 << max(int(max(width, height)) - 1, 1).bit_length()
     npix_m = side * side
@@ -486,9 +566,12 @@ def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
         segments = segments + jnp.sum(state[_ST_ALIVE])
         st3 = state.reshape(STATE_PLANES, rows_total, LANES)
         id3 = ids.reshape(2, rows_total, LANES)
-        tables = tables_fixed + (top_order, top_keys, root_bound, tri_hbm)
+        tables = tables_fixed + (top_order, top_keys, node_orders,
+                                 node_keys, root_bound, tri_hbm)
         st3 = _bounce_call(st3, id3, b, tables, block_rows=block_rows,
-                           use_exit=(b == 0), interpret=interpret)
+                           use_exit=(b == 0),
+                           node_exit=(node_exit and b > 0),
+                           interpret=interpret)
         state = st3.reshape(STATE_PLANES, N)
         if b < depth - 1:
             order = jnp.argsort(_sort_keys(state, key_lo, key_hi))

@@ -31,8 +31,15 @@ def sorted_tables(mesh_world):
 class TestSortedTables:
     def test_layout(self, mesh_world, sorted_tables):
         scene, _ = mesh_world
-        (tri_hbm, subb, subn, grpb, topb, topr, root, klo, khi) = \
-            sorted_tables
+        (tri_hbm, subb, subn, grpb, topb, topr, root, norder, nkeys,
+         klo, khi) = sorted_tables
+        C = topb.shape[1]
+        assert norder.shape == (C, C) and nkeys.shape == (C, C)
+        # each row is a permutation with nondecreasing keys
+        for i in range(min(C, 4)):
+            assert sorted(np.asarray(norder[i]).tolist()) == list(range(C))
+            k = np.asarray(nkeys[i])
+            assert (np.diff(k[np.isfinite(k)]) >= -1e-6).all()
         L = subb.shape[1]
         assert L % wso.GROUP_SUBS == 0
         assert tri_hbm.shape == (ws.TRI_ROWS_PAD, L * wso.SUB)
@@ -103,6 +110,15 @@ class TestSortedRenderer:
         scene, cam = mesh_world
         a, sa = self._sorted(scene, cam, sorted_tables, block_rows=8)
         b, sb = self._sorted(scene, cam, sorted_tables, block_rows=16)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert float(sa) == float(sb)
+
+    def test_node_exit_is_pure_optimization(self, mesh_world,
+                                            sorted_tables):
+        # the secondary-bounce early exit must never change the image
+        scene, cam = mesh_world
+        a, sa = self._sorted(scene, cam, sorted_tables, node_exit=True)
+        b, sb = self._sorted(scene, cam, sorted_tables, node_exit=False)
         assert np.array_equal(np.asarray(a), np.asarray(b))
         assert float(sa) == float(sb)
 

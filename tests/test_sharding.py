@@ -200,3 +200,66 @@ class TestShardedGradients:
         p, state, l1 = step(p, state)
         assert np.isfinite(float(l0)) and np.isfinite(float(l1))
         assert float(l1) <= float(l0)
+
+
+class TestShardedDiff:
+    """Sharded + differentiable + fast composition (VERDICT r2 item 4):
+    kernel forward/backward under shard_map must match single-device."""
+
+    W, H, SPP, D = 32, 24, 2, 3
+
+    def _statics(self, bwd):
+        return (self.W, self.H, self.SPP, self.D, 5, True, True, bwd)
+
+    @pytest.mark.parametrize("bwd", ["pallas", "xla"])
+    def test_grads_match_single_device(self, default_world, mesh8, bwd):
+        from raytracer_tpu.ops import diff as diff_mod
+        from raytracer_tpu.parallel.sharding import (
+            render_linear_diff_sharded)
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        assert diff_mod.bwd_kernel_eligible(scene)
+
+        def loss_single(s):
+            img = diff_mod.render_linear_diff(s, cam, self._statics(bwd))
+            return jnp.sum(img * img)
+
+        def loss_sharded(s):
+            img = render_linear_diff_sharded(
+                s, cam, mesh=mesh8, width=self.W, height=self.H,
+                samples_per_pixel=self.SPP, depth=self.D, seed=5,
+                interpret=True, bwd_engine=bwd)
+            return jnp.sum(img * img)
+
+        v1, g1 = jax.value_and_grad(loss_single, allow_int=True)(scene)
+        v2, g2 = jax.jit(
+            jax.value_and_grad(loss_sharded, allow_int=True))(scene)
+        assert abs(float(v1) - float(v2)) < 1e-4 * max(abs(float(v1)), 1.0)
+        for name in ("sphere_center", "sphere_radius"):
+            a = np.asarray(getattr(g1, name))
+            b = np.asarray(getattr(g2, name))
+            scale = max(np.abs(a).max(), 1e-8)
+            assert np.abs(a - b).max() <= 1e-3 * scale + 1e-7, name
+        a = np.asarray(g1.materials.color)
+        b = np.asarray(g2.materials.color)
+        assert np.abs(a - b).max() <= 1e-3 * max(np.abs(a).max(), 1e-8)
+
+    def test_sharded_fit_step_through_kernel(self, default_world, mesh8):
+        # one optimizer step of the sharded kernel-diff loss decreases it
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        target, _ = rt.render_linear(scene, cam, width=16, height=12,
+                                     samples_per_pixel=1, depth=2, seed=3)
+        params = gradmod.extract_params(scene, ["mat_color"])
+        params["mat_color"] = params["mat_color"] * 0.7
+        loss = gradmod.make_loss_fn(
+            scene, cam, target, width=16, height=12, samples_per_pixel=1,
+            depth=2, seed=3, mesh=mesh8, engine="pallas", interpret=True)
+        import optax
+        opt = optax.adam(5e-2)
+        step = gradmod.make_train_step(loss, opt)
+        state = opt.init(params)
+        p, state, l0 = step(params, state)
+        for _ in range(3):
+            p, state, l1 = step(p, state)
+        assert float(l1) < float(l0)
