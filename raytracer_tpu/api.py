@@ -83,27 +83,77 @@ class RenderSession:
     The first render compiles; subsequent renders at the same (width,
     height, spp, depth) reuse the compiled executable with the moved camera
     passed as data.
+
+    ``progressive=True`` goes beyond the reference's fixed-16-spp
+    interactive loop (lib.rs:51): after a camera move the first frame is
+    the base spp, and every subsequent ``frame()`` call while the camera
+    is still ACCUMULATES another batch of samples (fresh RNG streams via
+    the seed) up to ``max_samples``, so a polling frontend displays
+    progressive refinement.  A move resets the accumulator.
     """
 
     def __init__(self, source: str, width: int, height: int,
-                 options: Options | None = None):
+                 options: Options | None = None, *,
+                 progressive: bool = False,
+                 max_samples: Optional[int] = None):
         self.handle = load_world(source)
         self.width = width
         self.height = height
         self.options = options or FFI_DEFAULT_OPTIONS
+        self.progressive = progressive
+        self.max_samples = (max_samples if max_samples is not None
+                            else self.options.samples_per_pixel * 16)
         self._dirty = True
         self._frame: Optional[np.ndarray] = None
+        self._accum: Optional[np.ndarray] = None
+        self._accum_spp = 0
+
+    @property
+    def samples_accumulated(self) -> int:
+        """spp represented by the current frame (base spp when not
+        progressive)."""
+        if not self.progressive:
+            return self.options.samples_per_pixel
+        return self._accum_spp
 
     def move_camera(self, dx: float, dy: float, dz: float) -> None:
         self.handle = move_camera_position(self.handle, dx, dy, dz)
         self._dirty = True
 
+    def _accumulate_batch(self) -> None:
+        import jax.numpy as jnp
+        from . import ops as ops_mod
+        from .render import finalize_image
+        spp = self.options.samples_per_pixel
+        batch = self._accum_spp // spp
+        mean, _segs = ops_mod.render_linear_fast(
+            self.handle.scene, self.handle.camera, width=self.width,
+            height=self.height, samples_per_pixel=spp,
+            depth=self.options.max_ray_bounces,
+            parity_plane_sign=self.options.parity_plane_sign,
+            seed=self.options.seed + batch, engine=self.options.engine)
+        mean = np.asarray(mean, np.float64)
+        self._accum = mean * spp if self._accum is None \
+            else self._accum + mean * spp
+        self._accum_spp += spp
+        self._frame = np.asarray(finalize_image(
+            jnp.asarray(self._accum / self._accum_spp, jnp.float32)))
+
     def frame(self) -> np.ndarray:
-        """Dirty-flag render (GameView.swift:323-334 updateFramebufferIfDirty)."""
+        """Dirty-flag render (GameView.swift:323-334
+        updateFramebufferIfDirty); in progressive mode each clean-camera
+        call refines the image by one sample batch up to max_samples."""
         if self._dirty or self._frame is None:
-            self._frame = render(self.handle, self.width, self.height,
-                                 self.options)
+            self._accum = None
+            self._accum_spp = 0
+            if self.progressive:
+                self._accumulate_batch()
+            else:
+                self._frame = render(self.handle, self.width, self.height,
+                                     self.options)
             self._dirty = False
+        elif self.progressive and self._accum_spp < self.max_samples:
+            self._accumulate_batch()
         return self._frame
 
     def save(self, path: str) -> None:

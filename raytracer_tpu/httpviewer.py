@@ -41,18 +41,24 @@ shift: down &nbsp; (<span id="stat">loading</span>)</div>
 <script>
 const KEYS = {"a":[-STEP,0,0], "d":[STEP,0,0], "w":[0,0,-STEP],
               "s":[0,0,STEP], " ":[0,STEP,0], "Shift":[0,-STEP,0]};
-let gen = 0, busy = false;
+let gen = 0, busy = false, timer = null;
 async function refresh() {
   if (busy) return;
   busy = true;
   const t0 = performance.now();
-  const r = await fetch("/frame.png?g=" + gen);
+  const r = await fetch("/frame.png?g=" + gen + "&s=" + Date.now());
   const blob = await r.blob();
   document.getElementById("fb").src = URL.createObjectURL(blob);
+  const spp = r.headers.get("X-Samples");
+  const sppMax = r.headers.get("X-Samples-Max");
   document.getElementById("stat").textContent =
       (performance.now() - t0).toFixed(0) + " ms/frame, gen " +
-      r.headers.get("X-Generation");
+      r.headers.get("X-Generation") + ", " + spp + "/" + sppMax + " spp";
   busy = false;
+  // progressive refinement: keep polling until the accumulator is full
+  if (timer) clearTimeout(timer);
+  if (parseInt(spp) < parseInt(sppMax))
+    timer = setTimeout(refresh, 150);
 }
 document.addEventListener("keydown", async (e) => {
   const d = KEYS[e.key];
@@ -90,8 +96,13 @@ class ViewerHandler(BaseHTTPRequestHandler):
             with self.lock:
                 fb = self.session.frame()
                 gen = type(self).generation
+                spp = self.session.samples_accumulated
+                spp_max = (self.session.max_samples
+                           if self.session.progressive else spp)
             self._send(200, "image/png", png_bytes(fb),
-                       headers=[("X-Generation", str(gen))])
+                       headers=[("X-Generation", str(gen)),
+                                ("X-Samples", str(spp)),
+                                ("X-Samples-Max", str(spp_max))])
         elif path == "/camera":
             with self.lock:
                 pos = [float(v) for v in self.session.handle.camera.origin]
@@ -135,12 +146,14 @@ def make_server(session: RenderSession, port: int = 8000) -> HTTPServer:
 
 
 def serve(source: str | None = None, *, width: int = 400, port: int = 8000,
-          samples: int = 16, ray_depth: int = 8) -> None:
+          samples: int = 16, ray_depth: int = 8,
+          progressive: bool = True) -> None:
     src = source if source is not None else default_world_source()
     aspect = 1.77778
     session = RenderSession(
         src, width, int(width / aspect),
-        Options(samples_per_pixel=samples, max_ray_bounces=ray_depth))
+        Options(samples_per_pixel=samples, max_ray_bounces=ray_depth),
+        progressive=progressive)
     httpd = make_server(session, port)
     print(f"viewer on http://localhost:{port}/  (ctrl-c to stop)")
     try:

@@ -266,7 +266,7 @@ def _sort_keys(state, key_lo, key_hi):
 # ---------------------------------------------------------------------------
 
 def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
-                        use_exit, node_exit):
+                        use_exit, node_exit, debug_counts=False):
     """One bounce for a (block_rows x 128)-ray block: sphere loop +
     sub-leaf streamed triangle walk + scatter.
 
@@ -283,8 +283,12 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
     def kernel(sph_ref, sphc_b_ref, sphc_r_ref, subb_ref, subn_ref,
                grpb_ref, topb_ref, topr_ref, order_ref, keys_ref,
                norder_ref, nkeys_ref, root_ref,
-               binfo_ref, state_ref, ids_ref, tri_hbm, out_ref, tri_smem,
-               dma_sem):
+               binfo_ref, state_ref, ids_ref, tri_hbm, out_ref,
+               *rest):
+        if debug_counts:
+            cnt_ref, tri_smem, dma_sem = rest
+        else:
+            tri_smem, dma_sem = rest
         b = binfo_ref[0]
         ox = state_ref[_ST_OX]
         oy = state_ref[_ST_OY]
@@ -346,28 +350,38 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
             dmax = jnp.sqrt(jnp.max(jnp.where(alive, d2o, 0.0)))
 
         def make_grp_body(g0r):
-            def grp_body(g, hs):
+            def grp_body(g, carry):
+                c_grp, c_sub, c_tri = carry[0], carry[1], carry[2]
+                hs = carry[3:]
                 t_best = hs[0]
                 possible = _bound_test(grpb_ref, g, ox, oy, oz, dx, dy, dz,
                                        t_best, alive)
                 any_g = jnp.max(jnp.where(possible, 1.0, 0.0))
+                c_grp = c_grp + (any_g > 0.0).astype(jnp.int32)
                 base = (g - g0r) * GROUP
 
-                def sub_body(k, hs):
+                def sub_body(k, carry2):
+                    c_sub, c_tri = carry2[0], carry2[1]
+                    hs = carry2[2:]
                     li = g * GROUP_SUBS + k
                     psub = _bound_test(subb_ref, li, ox, oy, oz, dx, dy,
                                        dz, hs[0], alive)
                     any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
                     n = jnp.where((any_s > 0.0) & (any_g > 0.0),
                                   subn_ref[0, li], 0)
+                    c_sub = c_sub + (n > 0).astype(jnp.int32)
+                    c_tri = c_tri + n
                     off = base + k * SUB
-                    return jax.lax.fori_loop(off, off + n, tri_body, hs)
+                    hs = jax.lax.fori_loop(off, off + n, tri_body, hs)
+                    return (c_sub, c_tri) + hs
 
-                return jax.lax.fori_loop(0, GROUP_SUBS, sub_body, hs)
+                out = jax.lax.fori_loop(0, GROUP_SUBS, sub_body,
+                                        (c_sub, c_tri) + hs)
+                return (c_grp,) + out
             return grp_body
 
         def walk_cond(wst):
-            oi, hs = wst[0], wst[1:]
+            oi, hs = wst[0], wst[5:]
             t_best = hs[0]
             relevant_t = jnp.where(root_p, t_best, -BIG)
             oi_safe = jnp.minimum(oi, n_tops - 1)
@@ -384,7 +398,9 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
                     & (jnp.max(relevant_t) >= jnp.float32(-1.0)))
 
         def walk_body(wst):
-            oi, hs = wst[0], wst[1:]
+            oi, c_top = wst[0], wst[1]
+            counters = wst[2:5]
+            hs = wst[5:]
             if node_exit and not use_exit:
                 ci = norder_ref[ref_i, oi]
             else:
@@ -392,6 +408,7 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
             possible = _bound_test(topb_ref, ci, ox, oy, oz, dx, dy, dz,
                                    hs[0], alive)
             any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
+            c_top = c_top + (any_p > 0.0).astype(jnp.int32)
             g0r = topr_ref[0, ci]
 
             @pl.when(any_p > 0.0)
@@ -404,12 +421,20 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
 
             g0 = jnp.where(any_p > 0.0, g0r, 0)
             g1 = jnp.where(any_p > 0.0, topr_ref[1, ci], 0)
-            hs = jax.lax.fori_loop(g0, g1, make_grp_body(g0r), hs)
-            return (oi + 1,) + hs
+            out = jax.lax.fori_loop(g0, g1, make_grp_body(g0r),
+                                    counters + hs)
+            return (oi + 1, c_top) + out
 
+        zi = jnp.int32(0)
         wst = jax.lax.while_loop(walk_cond, walk_body,
-                                 (jnp.int32(0),) + hs)
-        hs = _resolve_tri_normals(wst[1:])
+                                 (zi, zi, zi, zi, zi) + hs)
+        if debug_counts:
+            cnt_ref[0, 0] = wst[0]       # tops visited (walk length)
+            cnt_ref[0, 1] = wst[1]       # tops passed
+            cnt_ref[0, 2] = wst[2]       # groups passed
+            cnt_ref[0, 3] = wst[3]       # sub-leaves passed
+            cnt_ref[0, 4] = wst[4]       # triangle tests
+        hs = _resolve_tri_normals(wst[5:])
         t_best = hs[0]
         hpx = ox + t_best * dx
         hpy = oy + t_best * dy
@@ -438,8 +463,11 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
 
 
 def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
-                 node_exit, interpret):
-    """Launch one bounce over (STATE_PLANES, rows, LANES) state."""
+                 node_exit, interpret, debug_counts=False):
+    """Launch one bounce over (STATE_PLANES, rows, LANES) state.  With
+    ``debug_counts`` also returns per-block walk counters (nblocks, 8):
+    [tops visited, tops passed, groups passed, sub-leaves passed,
+    triangle tests, 0...] — the instrumentation behind the perf studies."""
     (sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
      norder, nkeys, root, tri_hbm) = tables
     rows = state3.shape[1]
@@ -456,8 +484,21 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
         nkeys = jnp.zeros((1, 1), jnp.float32)
 
     kernel = _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops,
-                                 block_rows, use_exit, node_exit)
+                                 block_rows, use_exit, node_exit,
+                                 debug_counts=debug_counts)
     binfo = jnp.asarray(b, jnp.int32).reshape(1)
+    state_spec = pl.BlockSpec((STATE_PLANES, block_rows, LANES),
+                              lambda i, *prefetch: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    out_specs = state_spec
+    out_shape = jax.ShapeDtypeStruct((STATE_PLANES, rows, LANES),
+                                     jnp.float32)
+    if debug_counts:
+        out_specs = [state_spec,
+                     pl.BlockSpec((1, 8), lambda i, *prefetch: (i, 0),
+                                  memory_space=pltpu.SMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((nblocks, 8), jnp.int32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=14,
@@ -471,9 +512,7 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # tri table in HBM
         ],
-        out_specs=pl.BlockSpec((STATE_PLANES, block_rows, LANES),
-                               lambda i, *prefetch: (0, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.SMEM((TRI_ROWS_PAD, TOP_SPAN), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -482,8 +521,7 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((STATE_PLANES, rows, LANES),
-                                       jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
       norder, nkeys, root, binfo, state3, ids3, tri_hbm)
@@ -496,7 +534,8 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
-                     "block_rows", "interpret", "node_exit"))
+                     "block_rows", "interpret", "node_exit",
+                     "debug_counts"))
 def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
                                 grp_bounds, top_bounds, top_ranges,
                                 root_bound, node_orders, node_keys,
@@ -504,7 +543,8 @@ def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
                                 width, height, samples_per_pixel, depth,
                                 seed=0, block_rows=8, interpret=False,
                                 sph_clusters=None, top_order=None,
-                                top_keys=None, node_exit=True):
+                                top_keys=None, node_exit=True,
+                                debug_counts=False):
     """Mean linear radiance [H, W, 3] + segment count via the sorted
     per-bounce pipeline.  Table args come from pack_spheres +
     build_tri_sorted_tables; top_order/top_keys from
@@ -562,6 +602,7 @@ def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
     tables_fixed = (sph_table, sphc_b, sphc_r, sub_bounds, sub_counts,
                     grp_bounds, top_bounds, top_ranges)
     segments = jnp.float32(0.0)
+    counts = []
     for b in range(depth):
         segments = segments + jnp.sum(state[_ST_ALIVE])
         st3 = state.reshape(STATE_PLANES, rows_total, LANES)
@@ -571,7 +612,11 @@ def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
         st3 = _bounce_call(st3, id3, b, tables, block_rows=block_rows,
                            use_exit=(b == 0),
                            node_exit=(node_exit and b > 0),
-                           interpret=interpret)
+                           interpret=interpret,
+                           debug_counts=debug_counts)
+        if debug_counts:
+            st3, cnt = st3
+            counts.append(cnt)
         state = st3.reshape(STATE_PLANES, N)
         if b < depth - 1:
             order = jnp.argsort(_sort_keys(state, key_lo, key_hi))
@@ -583,4 +628,6 @@ def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
     img_sum = jnp.zeros((height * width, 3), jnp.float32).at[
         pix_final].add(rgb)
     mean = img_sum.reshape(height, width, 3) * (1.0 / spp)
+    if debug_counts:
+        return mean, segments, jnp.stack(counts)
     return mean, segments

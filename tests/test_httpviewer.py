@@ -75,3 +75,49 @@ class TestViewer:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(server + "/nope", timeout=30)
         assert e.value.code == 404
+
+
+@pytest.fixture(scope="module")
+def progressive_server():
+    session = RenderSession(default_world_source(), 24, 14,
+                            Options(samples_per_pixel=1, max_ray_bounces=2),
+                            progressive=True, max_samples=3)
+    httpd = httpviewer.make_server(session, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    httpd.server_close()
+
+
+class TestProgressiveAccumulation:
+    """VERDICT r2 item 9: /frame.png returns increasing-spp frames between
+    moves; a camera move resets the accumulator."""
+
+    def test_spp_increases_across_polls_and_resets_on_move(
+            self, progressive_server):
+        s = progressive_server
+        _, h1, b1 = _get(s + "/frame.png")
+        _, h2, b2 = _get(s + "/frame.png")
+        _, h3, b3 = _get(s + "/frame.png")
+        assert [h["X-Samples"] for h in (h1, h2, h3)] == ["1", "2", "3"]
+        assert h1["X-Samples-Max"] == "3"
+        # saturated: further polls stay at max and stop re-rendering
+        _, h4, b4 = _get(s + "/frame.png")
+        assert h4["X-Samples"] == "3" and b4 == b3
+        # refinement actually changed pixels (new RNG streams per batch)
+        assert b2 != b1
+        # a camera move resets accumulation to the base spp
+        _post(s + "/move", {"dx": 0.1, "dy": 0.0, "dz": 0.0})
+        _, h5, _ = _get(s + "/frame.png")
+        assert h5["X-Samples"] == "1"
+
+    def test_first_batch_matches_plain_render(self):
+        opts = Options(samples_per_pixel=2, max_ray_bounces=2)
+        plain = RenderSession(default_world_source(), 20, 12, opts)
+        prog = RenderSession(default_world_source(), 20, 12, opts,
+                             progressive=True, max_samples=4)
+        np.testing.assert_array_equal(plain.frame(), prog.frame())
+        assert prog.samples_accumulated == 2
+        prog.frame()
+        assert prog.samples_accumulated == 4
