@@ -107,17 +107,39 @@ def bench_all():
         "value": int(segs) / dt, "unit": "rays/s",
         "vs_baseline": int(segs) / dt / PER_CHIP_TARGET})
 
-    # config 3 at its stated scale: ~10k-tri OBJ mesh, corrected plane
-    # equation (parity_plane_sign=False enables sound cluster culling; the
-    # reference's wrong-sign formula is a compat flag, not geometry)
+    # config 3 at its stated scale: ~10k-tri OBJ mesh (exact_planes scenes
+    # resolve to the corrected plane equation and the sorted engine
+    # automatically — ops.resolve_dispatch)
     oscene, ocam = rt.models.obj_mesh_scene()
     def run_obj(seed):
         return ops_mod.render_linear_fast(
             oscene, ocam, width=512, height=512, samples_per_pixel=4,
-            depth=4, seed=seed, parity_plane_sign=False)
+            depth=4, seed=seed)
     dt, (_, segs) = _time_best(run_obj)
     results.append({
         "metric": f"obj_mesh_{oscene.num_triangles}tri_512x512_4spp",
+        "value": int(segs) / dt, "unit": "rays/s",
+        "vs_baseline": int(segs) / dt / PER_CHIP_TARGET})
+
+    # the VERDICT r2 criterion scene: 164k tris at depth 4
+    from raytracer_tpu.models.builders import icosphere_mesh
+    from raytracer_tpu.scene import DIFFUSE, METAL, build_materials, \
+        build_scene
+    btris = (icosphere_mesh((-0.6, 0.0, -1.4), 0.45, 0, 6)
+             + icosphere_mesh((0.6, 0.0, -1.2), 0.45, 2, 6))
+    bmats = build_materials([(DIFFUSE, (0.7, 0.3, 0.3), 0.0, 1.0),
+                             (DIFFUSE, (0.8, 0.8, 0.0), 0.0, 1.0),
+                             (METAL, (0.85, 0.85, 0.9), 0.05, 1.0)])
+    bscene = build_scene([((0.0, -100.5, -1.0), 100.0, 1)], btris, bmats,
+                         exact_planes=True)
+    bcam = rt.Camera.new_at((0.0, 0.0, 0.0), 1.77778)
+    def run_big(seed):
+        return ops_mod.render_linear_fast(
+            bscene, bcam, width=512, height=512, samples_per_pixel=4,
+            depth=4, seed=seed)
+    dt, (_, segs) = _time_best(run_big)
+    results.append({
+        "metric": f"mesh_{bscene.num_triangles}tri_512x512_4spp_depth4",
         "value": int(segs) / dt, "unit": "rays/s",
         "vs_baseline": int(segs) / dt / PER_CHIP_TARGET})
 
@@ -159,8 +181,19 @@ def main() -> int:
         file=sys.stderr)
 
     if "--all" in sys.argv[1:]:
-        for r in bench_all():
+        rows = [headline] + bench_all()
+        for r in rows[1:]:
             print(json.dumps(r), file=sys.stderr)
+        if "--write" in sys.argv[1:]:
+            # the committed full bench matrix (VERDICT r2 item 7):
+            # refreshed by `python bench.py --all --write`
+            import pathlib
+            doc = {"device": jax.devices()[0].device_kind,
+                   "timing": "min (t(2k)-t(k))/k, async dispatch batches",
+                   "rows": rows}
+            path = pathlib.Path(__file__).parent / "BENCHMARKS.json"
+            path.write_text(json.dumps(doc, indent=1) + "\n")
+            print(f"[bench] wrote {path}", file=sys.stderr)
     return 0
 
 

@@ -138,8 +138,8 @@ def scene_tables(scene: Scene, parity_plane_sign: bool):
 def scene_sorted_tables(scene: Scene):
     """Packed tables for the sorted per-bounce engine, cached on scene
     identity: (sph_table, sph_clusters, tri_hbm, sub_bounds, sub_counts,
-    grp_bounds, top_bounds, top_ranges, root, node_orders, node_keys,
-    key_lo, key_hi)."""
+    grp_bounds, top_bounds, top_ranges, root, ref_pts, node_orders,
+    node_keys, node_run_bounds, key_lo, key_hi)."""
     global pack_events
     key = (id(scene), "sorted")
     hit = _TABLE_CACHE.get(key)
@@ -167,13 +167,15 @@ def sorted_smem_bytes(scene: Scene) -> int:
     ``stream_smem_bytes``)."""
     from .pallas import wavefront_stream as ws
     from .pallas import wavefront_sorted as wso
-    (sph, sph_cl, tri_hbm, subb, subn, grpb, topb, topr,
-     root, norder, nkeys, _klo, _khi) = scene_sorted_tables(scene)
+    (sph, sph_cl, tri_hbm, subb, subn, grpb, topb, topr, root,
+     refp, norder, nkeys, nrunb, _klo, _khi) = scene_sorted_tables(scene)
     n_tops = topb.shape[1]
+    r8 = -(-n_tops // wso.RUN)
     smem = 4 * (sph.size + subb.size + subn.size + grpb.size
                 + topb.size + topr.size
-                + 2 * n_tops                    # top_order + top_keys
-                + norder.size + nkeys.size       # secondary-exit tables
+                + 2 * n_tops + 4 * r8            # camera order/keys/runs
+                + refp.size + norder.size        # secondary-exit tables
+                + nkeys.size + nrunb.size
                 + root.size + 1                  # root + binfo
                 + ws.TRI_ROWS_PAD * wso.TOP_SPAN)  # per-top DMA scratch
     if sph_cl is not None:
@@ -303,14 +305,14 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
                              "False (bound culling soundness)")
         from .pallas import wavefront as wf
         from .pallas import wavefront_sorted as wso
-        (sph, sph_cl, tri_hbm, subb, subn, grpb, topb, topr,
-         root, norder, nkeys, klo, khi) = scene_sorted_tables(scene)
+        (sph, sph_cl, tri_hbm, subb, subn, grpb, topb, topr, root,
+         refp, norder, nkeys, nrunb, klo, khi) = scene_sorted_tables(scene)
         cv = wf.camera_vec(camera)
         order, keys = wso.sorted_top_order(np.asarray(topb),
                                            np.asarray(camera.origin))
         return wso.render_linear_pallas_sorted(
             sph, tri_hbm, subb, subn, grpb, topb, topr, root,
-            norder, nkeys, klo, khi,
+            refp, norder, nkeys, nrunb, klo, khi,
             cv, width=width, height=height,
             samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
             sph_clusters=sph_cl, top_order=jnp.asarray(order),

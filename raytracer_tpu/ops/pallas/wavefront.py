@@ -331,6 +331,57 @@ def _sphere_loop(sph_ref, sphc_b_ref, sphc_r_ref, n_spheres, n_sph_clusters,
     return jax.lax.fori_loop(0, n_spheres, sph_body, hs0)
 
 
+def _sphere_loop_lowp(sph_ref, n_spheres, ox, oy, oz, dx, dy, dz, hs0):
+    """bfloat16 variant of the sphere closest-hit loop — the
+    reduced-precision experiment (the reference's fp_vec.rs 16.16
+    fixed-point toy, reimagined for TPU dtypes; see PERFSTUDY "lowp").
+    The quadratic (half-b form, common.rs:74-97) runs entirely in bf16;
+    the selected t is upcast for the f32 closest-hit compare, so the
+    attribute-select chain stays shared.  No cluster culling (the study
+    scenes are small).  bf16 shares f32's exponent range, so BIG and the
+    disc>=0 guard behave identically — only mantissa precision drops."""
+    bf = jnp.bfloat16
+    oxl, oyl, ozl = ox.astype(bf), oy.astype(bf), oz.astype(bf)
+    dxl, dyl, dzl = dx.astype(bf), dy.astype(bf), dz.astype(bf)
+    t_min = jnp.bfloat16(float(T_MIN))
+    big = jnp.bfloat16(float(BIG))
+
+    def sph_body(si, hs):
+        (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
+        cx = sph_ref[_SPH_CX, si]
+        cy = sph_ref[_SPH_CY, si]
+        cz = sph_ref[_SPH_CZ, si]
+        r2f = sph_ref[_SPH_R2, si]
+        ocx = oxl - jnp.bfloat16(cx)
+        ocy = oyl - jnp.bfloat16(cy)
+        ocz = ozl - jnp.bfloat16(cz)
+        r2 = jnp.bfloat16(r2f)
+        half_b = ocx * dxl + ocy * dyl + ocz * dzl
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = half_b * half_b - cc
+        ok = (disc >= 0) & (r2 > 0)
+        sq = jnp.sqrt(jnp.maximum(disc, jnp.bfloat16(0.0)))
+        root1 = -half_b - sq
+        root2 = -half_b + sq
+        t = jnp.where(root1 > t_min, root1,
+                      jnp.where(root2 > t_min, root2, big))
+        t = jnp.where(ok, t, big).astype(jnp.float32)
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        nx = jnp.where(better, cx, nx)
+        ny = jnp.where(better, cy, ny)
+        nz = jnp.where(better, cz, nz)
+        kind = jnp.where(better, sph_ref[_SPH_KIND, si], kind)
+        ar = jnp.where(better, sph_ref[_SPH_AR, si], ar)
+        ag = jnp.where(better, sph_ref[_SPH_AG, si], ag)
+        ab = jnp.where(better, sph_ref[_SPH_AB, si], ab)
+        fz = jnp.where(better, sph_ref[_SPH_FUZZ, si], fz)
+        irx = jnp.where(better, sph_ref[_SPH_IR, si], irx)
+        return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
+
+    return jax.lax.fori_loop(0, n_spheres, sph_body, hs0)
+
+
 def _bound_test(b_ref, ci, ox, oy, oz, dx, dy, dz, t_best, alive):
     """Conservative ray x bounding-sphere overlap test: could any live lane
     hit something inside bound ``ci`` closer than its current t_best?"""
@@ -606,7 +657,8 @@ def _block_pixel_setup(width, height, shard_rows, R, ntx, seed_ref):
 
 def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                  parity_plane_sign, count_all_lanes,
-                 n_sph_clusters=0, n_tri_clusters=0, shard_rows=None):
+                 n_sph_clusters=0, n_tri_clusters=0, shard_rows=None,
+                 lowp=False):
     npix = width * height
     R = block_rows
     if shard_rows is None:
@@ -685,9 +737,13 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                        zero, zero, one,            # winning center (nx..nz)
                        zero, zero, zero, zero,     # kind, ar, ag, ab
                        zero, one)                  # fz, irx
-                hs = _sphere_loop(sph_ref, sphc_b_ref, sphc_r_ref,
-                                  n_spheres, n_sph_clusters,
-                                  ox, oy, oz, dx, dy, dz, alive, hs0)
+                if lowp:
+                    hs = _sphere_loop_lowp(sph_ref, n_spheres,
+                                           ox, oy, oz, dx, dy, dz, hs0)
+                else:
+                    hs = _sphere_loop(sph_ref, sphc_b_ref, sphc_r_ref,
+                                      n_spheres, n_sph_clusters,
+                                      ox, oy, oz, dx, dy, dz, alive, hs0)
                 hs, (hpx, hpy, hpz) = _sphere_normals(
                     ox, oy, oz, dx, dy, dz, hs)
 
@@ -747,13 +803,13 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
                      "block_rows", "parity_plane_sign", "count_all_lanes",
-                     "interpret", "shard_rows"))
+                     "interpret", "shard_rows", "lowp"))
 def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
                          samples_per_pixel, depth, seed=0, block_rows=32,
                          parity_plane_sign=True, count_all_lanes=False,
                          interpret=False, sph_clusters=None,
                          tri_clusters=None, shard_rows=None, row_offset=0,
-                         row_stride=1):
+                         row_stride=1, lowp=False):
     """Mean linear radiance [rows, W, 3] + segment count, fused kernel.
 
     sph_table: (SPH_ROWS, S) from pack_spheres; tri_table: (TRI_ROWS, T)
@@ -813,7 +869,7 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
     kernel = _make_kernel(width, height, samples_per_pixel, depth,
                           n_spheres, n_tris, block_rows, parity_plane_sign,
                           count_all_lanes, n_sph_clusters, n_tri_clusters,
-                          shard_rows=shard_rows)
+                          shard_rows=shard_rows, lowp=lowp)
 
     seed_arr = jnp.stack([
         jnp.uint32(seed) * _SEED_MIX,

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...scene import Scene
 from .wavefront import (
-    LANES, TRI_ROWS, BIG, _SEED_MIX, _BOUND_PAD,
+    LANES, TRI_ROWS, BIG, T_MIN, _SEED_MIX, _BOUND_PAD,
     _bound_test, _make_tri_body, _pcg3d, _scatter_bookkeep,
     _sphere_loop, _sphere_normals, _resolve_tri_normals,
     _median_split_order, pack_triangles,
@@ -63,6 +63,9 @@ TOP_GROUPS = 8    # groups per top node (1024 columns)
 # start/wait latency amortizes 8x, and the group/sub-leaf bound tests then
 # run against SMEM-resident data
 TOP_SPAN = TOP_GROUPS * GROUP
+RUN = 8           # walk-order entries per RUN (one run-level bound test
+                  # gates 8 top visits — cuts the per-block walk floor)
+REF_TOPS = 4      # top nodes per secondary-exit reference point
 
 # ray-state plane indices (f32 planes carried between bounces)
 (_ST_OX, _ST_OY, _ST_OZ, _ST_DX, _ST_DY, _ST_DZ,
@@ -86,8 +89,9 @@ def build_tri_sorted_tables(scene: Scene):
     Returns (tri_hbm (TRI_ROWS_PAD, L*SUB) f32, sub_bounds (4, L) f32,
     sub_counts (1, L) i32, grp_bounds (4, G) f32, top_bounds (4, C) f32,
     top_ranges (2, C) i32 [group ranges], root (4, 1) f32,
-    node_orders (C, C) i32, node_keys (C, C) f32,
-    key_lo (3,) f32, key_hi (3,) f32).
+    ref_pts (4, NR) f32, node_orders (NR, C) i32, node_keys (NR, C) f32,
+    node_run_bounds (4, NR*R8) f32, key_lo (3,) f32, key_hi (3,) f32)
+    where NR = ceil(C / REF_TOPS) reference points and R8 = ceil(C / RUN).
 
     Sub-leaves are median-split spatial clusters of <= 32 valid triangles
     in DFS order, padded to 32 columns with never-hit zeros; L is padded to
@@ -98,13 +102,16 @@ def build_tri_sorted_tables(scene: Scene):
     in the unclamped axes).
 
     node_orders/node_keys drive the SECONDARY-bounce front-to-back early
-    exit: row i is the top-node visit order from reference point c_i (top
-    node i's center), with keys[i, j] = dist(c_i, c_j) - r_j — for a ray
-    whose origin o satisfies dist(o, c_i) <= dmax, its entry distance
-    into node j is >= keys[i, j] - dmax, so a block can stop its walk
-    once every relevant lane's closest hit beats that adjusted bound
-    (the kernel picks i nearest its live-origin centroid and computes
-    dmax as a lane reduction).
+    exit: row i is the top-node visit order from reference point p_i (the
+    centroid of REF_TOPS consecutive DFS tops), with keys[i, j] =
+    dist(p_i, c_j) - r_j — for a ray whose origin o satisfies
+    dist(o, p_i) <= dmax, its entry distance into node j is
+    >= keys[i, j] - dmax, so a block can stop its walk once every
+    relevant lane's closest hit beats that adjusted bound (the kernel
+    picks i nearest its live-origin centroid and computes dmax as a lane
+    reduction).  node_run_bounds[:, i*R8 + k] is the union bounding
+    sphere of order row i's entries [k*RUN, (k+1)*RUN) — one conservative
+    run test gates 8 visits.
     """
     v0 = np.asarray(scene.tri_v0, np.float64)
     v1 = np.asarray(scene.tri_v1, np.float64)
@@ -185,14 +192,34 @@ def build_tri_sorted_tables(scene: Scene):
     centers = top_bounds[0:3]                    # (3, C)
     rads = np.sqrt(np.maximum(top_bounds[3], 0.0))
     valid_top = top_bounds[3] > 0.0
-    node_orders = np.zeros((C, C), np.int32)
-    node_keys = np.zeros((C, C), np.float32)
-    for i in range(C):
-        d = np.linalg.norm(centers.T - centers[:, i], axis=1)
+    NR = -(-C // REF_TOPS)
+    R8 = -(-C // RUN)
+    ref_pts = np.zeros((4, NR), np.float32)
+    node_orders = np.zeros((NR, C), np.int32)
+    node_keys = np.zeros((NR, C), np.float32)
+    node_run_bounds = np.zeros((4, NR * R8), np.float32)
+    node_run_bounds[3] = -1.0
+    for i in range(NR):
+        members = [m for m in range(i * REF_TOPS,
+                                    min((i + 1) * REF_TOPS, C))
+                   if valid_top[m]]
+        p = (centers[:, members].mean(axis=1) if members
+             else centers[:, min(i * REF_TOPS, C - 1)])
+        ref_pts[0:3, i] = p
+        ref_pts[3, i] = 1.0 if members else -1.0
+        d = np.linalg.norm(centers.T - p, axis=1)
         keys = np.where(valid_top, d - rads, np.inf)
         order = np.argsort(keys, kind="stable").astype(np.int32)
         node_orders[i] = order
         node_keys[i] = keys[order].astype(np.float32)
+        for k in range(R8):
+            run = [int(j) for j in order[k * RUN:(k + 1) * RUN]
+                   if valid_top[j]]
+            if not run:
+                continue
+            bc, br = union_bound(top_bounds, run)
+            node_run_bounds[0:3, i * R8 + k] = bc
+            node_run_bounds[3, i * R8 + k] = br * br
 
     if len(vidx):
         verts = np.concatenate(
@@ -206,7 +233,8 @@ def build_tri_sorted_tables(scene: Scene):
         key_lo = np.full(3, -1.0, np.float32)
         key_hi = np.full(3, 1.0, np.float32)
     return (tri_hbm, sub_bounds, sub_counts, grp_bounds, top_bounds,
-            top_ranges, root, node_orders, node_keys, key_lo, key_hi)
+            top_ranges, root, ref_pts, node_orders, node_keys,
+            node_run_bounds, key_lo, key_hi)
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +261,34 @@ def _compact1by1(x):
     return x
 
 
+def _run_bounds_jnp(top_bounds, order):
+    """Union bounding spheres of RUN-length slices of a visit order —
+    traceable twin of the builder's node_run_bounds, for the per-camera
+    order computed at dispatch time.  Returns (4, R8) f32 (row 3 = r^2,
+    -1 for empty runs)."""
+    C = top_bounds.shape[1]
+    R8 = -(-C // RUN)
+    pad = R8 * RUN - C
+    idx = order[0]
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), jnp.int32)])
+    c = top_bounds[0:3, :].T[idx].reshape(R8, RUN, 3)
+    r2 = top_bounds[3, :][idx].reshape(R8, RUN)
+    valid = (r2 > 0.0) & (jnp.arange(R8 * RUN).reshape(R8, RUN) < C)
+    r = jnp.sqrt(jnp.maximum(r2, 0.0))
+    big = jnp.float32(1e30)
+    lo = jnp.min(jnp.where(valid[..., None], c, big), axis=1)
+    hi = jnp.max(jnp.where(valid[..., None], c, -big), axis=1)
+    ctr = (lo + hi) * 0.5
+    rad = jnp.max(jnp.where(
+        valid, jnp.linalg.norm(c - ctr[:, None, :], axis=-1) + r, -1.0),
+        axis=1)
+    any_v = jnp.any(valid, axis=1)
+    rad = rad * jnp.float32(_BOUND_PAD) + 1e-4
+    row3 = jnp.where(any_v, rad * rad, -1.0)
+    return jnp.concatenate([ctr.T, row3[None, :]]).astype(jnp.float32)
+
+
 def _u01_jnp(bits):
     """XLA-side twin of wavefront._u01 — identical bits, identical float."""
     b24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
@@ -241,8 +297,20 @@ def _u01_jnp(bits):
 
 
 def _sort_keys(state, key_lo, key_hi):
-    """Coherence keys for the inter-bounce sort: Morton(origin) * 8 +
-    direction octant; dead rays get +inf-like keys and sink to the end."""
+    """Coherence keys for the inter-bounce sort: DIRECTION-major
+    (quantized direction class, then Morton(origin)); dead rays get
+    +inf-like keys and sink to the end.
+
+    Key layout [coarse position | direction | fine position], measured on
+    the 164k-tri scene (PERFSTUDY "sorted" study): a block's triangle
+    work is the union of its rays' candidate sub-leaves.  Pure
+    position-major blocks mix all directions from a few cells (hemisphere
+    unions — ~6.9k tri tests/block at bounce 1); pure direction-major
+    destroys origin locality for surface-to-surface bounces (bounce 2-3
+    unions 2x worse).  Coarse cell first, then a ~45-degree direction
+    class, then the fine cell keeps both: rays in a block share a
+    half-radius neighborhood AND a cone.
+    """
     ox, oy, oz = state[_ST_OX], state[_ST_OY], state[_ST_OZ]
     dx, dy, dz = state[_ST_DX], state[_ST_DY], state[_ST_DZ]
     alive = state[_ST_ALIVE] > 0.5
@@ -254,10 +322,13 @@ def _sort_keys(state, key_lo, key_hi):
 
     mort = ((_part1by2(q(ox, 0)) << 2) | (_part1by2(q(oy, 1)) << 1)
             | _part1by2(q(oz, 2)))
-    octant = ((dx < 0).astype(jnp.int32) * 4
-              + (dy < 0).astype(jnp.int32) * 2
-              + (dz < 0).astype(jnp.int32))
-    key = mort * 8 + octant
+
+    def qd(v):
+        # direction component in [-1, 1] -> 2-bit class
+        return jnp.clip((v + 1.0) * 2.0, 0.0, 3.0).astype(jnp.int32)
+
+    dir6 = (qd(dx) << 4) | (qd(dy) << 2) | qd(dz)
+    key = (((mort >> 12) << 18) | (dir6 << 12) | (mort & 0xFFF))
     return jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
 
 
@@ -282,8 +353,8 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
 
     def kernel(sph_ref, sphc_b_ref, sphc_r_ref, subb_ref, subn_ref,
                grpb_ref, topb_ref, topr_ref, order_ref, keys_ref,
-               norder_ref, nkeys_ref, root_ref,
-               binfo_ref, state_ref, ids_ref, tri_hbm, out_ref,
+               crunb_ref, refp_ref, norder_ref, nkeys_ref, nrunb_ref,
+               root_ref, binfo_ref, state_ref, ids_ref, tri_hbm, out_ref,
                *rest):
         if debug_counts:
             cnt_ref, tri_smem, dma_sem = rest
@@ -318,13 +389,47 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
                           n_sph_clusters, ox, oy, oz, dx, dy, dz, alive, hs0)
         hs, _ = _sphere_normals(ox, oy, oz, dx, dy, dz, hs)
 
-        tri_body = _make_tri_body(lambda row, i: tri_smem[row, i], False,
-                                  ox, oy, oz, dx, dy, dz)
-        root_p = _bound_test(root_ref, 0, ox, oy, oz, dx, dy, dz,
-                             jnp.full((R, LANES), BIG), alive)
+        # Row-grouped triangle loops: the sub-leaf bound test and the
+        # member loop run per (8, 128)-lane row group instead of per whole
+        # block.  A sub-leaf needed by one corner of the block no longer
+        # costs every lane: with sorted rays the per-1024-ray candidate
+        # union is much smaller than the block union, and an (8, 128) op
+        # is one native vreg, so skipped groups are pure savings.
+        NRG = max(R // 8, 1)
+        rg_slices = [slice(rg * 8, (rg + 1) * 8) for rg in range(NRG)]
+        tri_bodies = [
+            _make_tri_body(lambda row, i: tri_smem[row, i], False,
+                           ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl])
+            for sl in rg_slices]
+        # Root test with an EXIT-DISTANCE cap: every triangle lies inside
+        # the root sphere, so a ray that entered it cannot hit one past
+        # the point where it leaves — min(t_best, t_cap) is therefore a
+        # sound culling bound.  Lanes missing the root get t_cap = -BIG,
+        # which fails every entry<=t test AND stops them from pinning the
+        # front-to-back walk open at t_best = BIG (the round-2 failure
+        # mode: root-passing miss-rays forced full walks).
+        rcx = root_ref[0, 0]
+        rcy = root_ref[1, 0]
+        rcz = root_ref[2, 0]
+        rr2 = root_ref[3, 0]
+        ocx = ox - rcx
+        ocy = oy - rcy
+        ocz = oz - rcz
+        rhb = ocx * dx + ocy * dy + ocz * dz
+        rcc = ocx * ocx + ocy * ocy + ocz * ocz - rr2
+        rdisc = rhb * rhb - rcc
+        rsq = jnp.sqrt(jnp.maximum(rdisc, 0.0))
+        rexit = -rhb + rsq
+        root_p = (rdisc >= 0.0) & (rexit > T_MIN) & alive & (rr2 > 0.0)
+        t_cap = jnp.where(root_p, rexit * jnp.float32(1.0005) + 1e-4,
+                          -BIG)
+
+        def cull_t(t_best):
+            return jnp.minimum(t_best, t_cap)
 
         if node_exit:
-            # reference node = top center nearest the live-origin centroid
+            # reference point = the one nearest the live-origin centroid
+            n_refs = refp_ref.shape[1]
             live_cnt = jnp.maximum(jnp.sum(alive_f), 1.0)
             ccx = jnp.sum(ox * alive_f) / live_cnt
             ccy = jnp.sum(oy * alive_f) / live_cnt
@@ -332,20 +437,20 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
 
             def near_body(i, carry):
                 best_d2, best_i = carry
-                ddx = topb_ref[0, i] - ccx
-                ddy = topb_ref[1, i] - ccy
-                ddz = topb_ref[2, i] - ccz
+                ddx = refp_ref[0, i] - ccx
+                ddy = refp_ref[1, i] - ccy
+                ddz = refp_ref[2, i] - ccz
                 d2 = ddx * ddx + ddy * ddy + ddz * ddz
-                d2 = jnp.where(topb_ref[3, i] > 0.0, d2, jnp.float32(3e38))
+                d2 = jnp.where(refp_ref[3, i] > 0.0, d2, jnp.float32(3e38))
                 better = d2 < best_d2
                 return (jnp.where(better, d2, best_d2),
                         jnp.where(better, i, best_i))
 
             _, ref_i = jax.lax.fori_loop(
-                0, n_tops, near_body, (jnp.float32(3e38), jnp.int32(0)))
-            rdx = ox - topb_ref[0, ref_i]
-            rdy = oy - topb_ref[1, ref_i]
-            rdz = oz - topb_ref[2, ref_i]
+                0, n_refs, near_body, (jnp.float32(3e38), jnp.int32(0)))
+            rdx = ox - refp_ref[0, ref_i]
+            rdy = oy - refp_ref[1, ref_i]
+            rdz = oz - refp_ref[2, ref_i]
             d2o = rdx * rdx + rdy * rdy + rdz * rdz
             dmax = jnp.sqrt(jnp.max(jnp.where(alive, d2o, 0.0)))
 
@@ -353,9 +458,8 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
             def grp_body(g, carry):
                 c_grp, c_sub, c_tri = carry[0], carry[1], carry[2]
                 hs = carry[3:]
-                t_best = hs[0]
-                possible = _bound_test(grpb_ref, g, ox, oy, oz, dx, dy, dz,
-                                       t_best, alive)
+                possible = _bound_test(grpb_ref, g, ox, oy, oz, dx, dy,
+                                       dz, cull_t(hs[0]), alive)
                 any_g = jnp.max(jnp.where(possible, 1.0, 0.0))
                 c_grp = c_grp + (any_g > 0.0).astype(jnp.int32)
                 base = (g - g0r) * GROUP
@@ -364,15 +468,28 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
                     c_sub, c_tri = carry2[0], carry2[1]
                     hs = carry2[2:]
                     li = g * GROUP_SUBS + k
-                    psub = _bound_test(subb_ref, li, ox, oy, oz, dx, dy,
-                                       dz, hs[0], alive)
-                    any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
-                    n = jnp.where((any_s > 0.0) & (any_g > 0.0),
-                                  subn_ref[0, li], 0)
-                    c_sub = c_sub + (n > 0).astype(jnp.int32)
-                    c_tri = c_tri + n
                     off = base + k * SUB
-                    hs = jax.lax.fori_loop(off, off + n, tri_body, hs)
+                    n_all = jnp.where(any_g > 0.0, subn_ref[0, li], 0)
+                    parts = [[] for _ in hs]
+                    hit_any = jnp.int32(0)
+                    for rg, sl in enumerate(rg_slices):
+                        hs_rg = tuple(p[sl] for p in hs)
+                        tcull = jnp.minimum(hs_rg[0], t_cap[sl])
+                        psub = _bound_test(subb_ref, li, ox[sl], oy[sl],
+                                           oz[sl], dx[sl], dy[sl], dz[sl],
+                                           tcull, alive[sl])
+                        any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
+                        n_rg = jnp.where(any_s > 0.0, n_all, 0)
+                        c_tri = c_tri + n_rg
+                        hit_any = hit_any | (n_rg > 0).astype(jnp.int32)
+                        hs_rg = jax.lax.fori_loop(off, off + n_rg,
+                                                  tri_bodies[rg], hs_rg)
+                        for q, pq in enumerate(hs_rg):
+                            parts[q].append(pq)
+                    c_sub = c_sub + hit_any
+                    hs = tuple(
+                        ps[0] if len(ps) == 1
+                        else jnp.concatenate(ps, axis=0) for ps in parts)
                     return (c_sub, c_tri) + hs
 
                 out = jax.lax.fori_loop(0, GROUP_SUBS, sub_body,
@@ -380,33 +497,36 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
                 return (c_grp,) + out
             return grp_body
 
+        # ---- two-level walk: RUN-level bound gates 8 ordered visits ----
+        R8 = -(-n_tops // RUN)
+
         def walk_cond(wst):
-            oi, hs = wst[0], wst[5:]
-            t_best = hs[0]
-            relevant_t = jnp.where(root_p, t_best, -BIG)
-            oi_safe = jnp.minimum(oi, n_tops - 1)
+            ri, hs = wst[0], wst[5:]
+            relevant_t = cull_t(hs[0])
+            ki = jnp.minimum(ri * RUN, n_tops - 1)
             if use_exit:
                 # >= keeps entry-bound ties walking so exact-tie closest
-                # hits resolve like the full walk (wavefront_stream.py)
-                return ((oi < n_tops)
-                        & (jnp.max(relevant_t) >= keys_ref[0, oi_safe]))
+                # hits resolve like the full walk (wavefront_stream.py);
+                # keys are sorted, so the run's FIRST key lower-bounds it
+                return ((ri < R8)
+                        & (jnp.max(relevant_t) >= keys_ref[0, ki]))
             if node_exit:
-                exit_key = nkeys_ref[ref_i, oi_safe] - dmax
-                return ((oi < n_tops)
+                exit_key = nkeys_ref[ref_i, ki] - dmax
+                return ((ri < R8)
                         & (jnp.max(relevant_t) >= exit_key))
-            return ((oi < n_tops)
+            return ((ri < R8)
                     & (jnp.max(relevant_t) >= jnp.float32(-1.0)))
 
-        def walk_body(wst):
-            oi, c_top = wst[0], wst[1]
-            counters = wst[2:5]
-            hs = wst[5:]
+        def visit_body(oi, carry):
+            c_top = carry[0]
+            counters = carry[1:4]
+            hs = carry[4:]
             if node_exit and not use_exit:
                 ci = norder_ref[ref_i, oi]
             else:
                 ci = order_ref[0, oi]
             possible = _bound_test(topb_ref, ci, ox, oy, oz, dx, dy, dz,
-                                   hs[0], alive)
+                                   cull_t(hs[0]), alive)
             any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
             c_top = c_top + (any_p > 0.0).astype(jnp.int32)
             g0r = topr_ref[0, ci]
@@ -423,17 +543,39 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
             g1 = jnp.where(any_p > 0.0, topr_ref[1, ci], 0)
             out = jax.lax.fori_loop(g0, g1, make_grp_body(g0r),
                                     counters + hs)
-            return (oi + 1, c_top) + out
+            return (c_top,) + out
+
+        def walk_body(wst):
+            ri = wst[0]
+            carry = wst[1:]
+            if use_exit:
+                run_p = _bound_test(crunb_ref, ri, ox, oy, oz, dx, dy, dz,
+                                    cull_t(carry[4]), alive)
+                any_r = jnp.max(jnp.where(run_p, 1.0, 0.0)) > 0.0
+            elif node_exit:
+                run_p = _bound_test(nrunb_ref, ref_i * R8 + ri,
+                                    ox, oy, oz, dx, dy, dz,
+                                    cull_t(carry[4]), alive)
+                any_r = jnp.max(jnp.where(run_p, 1.0, 0.0)) > 0.0
+            else:
+                any_r = True
+            lo = ri * RUN
+            hi = jnp.where(any_r, jnp.minimum(lo + RUN, n_tops), lo)
+            carry = jax.lax.fori_loop(lo, hi, visit_body, carry)
+            return (ri + 1,) + carry
 
         zi = jnp.int32(0)
         wst = jax.lax.while_loop(walk_cond, walk_body,
                                  (zi, zi, zi, zi, zi) + hs)
         if debug_counts:
-            cnt_ref[0, 0] = wst[0]       # tops visited (walk length)
-            cnt_ref[0, 1] = wst[1]       # tops passed
-            cnt_ref[0, 2] = wst[2]       # groups passed
-            cnt_ref[0, 3] = wst[3]       # sub-leaves passed
-            cnt_ref[0, 4] = wst[4]       # triangle tests
+            # broadcast scalars into planes: TPU block specs need
+            # (8, 128)-aligned tiles even for tiny outputs
+            for q in range(5):
+                cnt_ref[q] = jnp.broadcast_to(wst[q], (R, LANES))
+            for q in range(5, 8):
+                cnt_ref[q] = jnp.zeros((R, LANES), jnp.int32)
+            # planes: 0 runs visited, 1 tops passed, 2 groups passed,
+            # 3 sub-leaves passed, 4 triangle tests
         hs = _resolve_tri_normals(wst[5:])
         t_best = hs[0]
         hpx = ox + t_best * dx
@@ -465,11 +607,11 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
 def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
                  node_exit, interpret, debug_counts=False):
     """Launch one bounce over (STATE_PLANES, rows, LANES) state.  With
-    ``debug_counts`` also returns per-block walk counters (nblocks, 8):
-    [tops visited, tops passed, groups passed, sub-leaves passed,
-    triangle tests, 0...] — the instrumentation behind the perf studies."""
+    ``debug_counts`` also returns per-block walk counters (nblocks, 5):
+    [runs visited, tops passed, groups passed, sub-leaves passed,
+    triangle tests] — the instrumentation behind the perf studies."""
     (sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
-     norder, nkeys, root, tri_hbm) = tables
+     crunb, refp, norder, nkeys, nrunb, root, tri_hbm) = tables
     rows = state3.shape[1]
     nblocks = rows // block_rows
     n_spheres = sph.shape[1]
@@ -478,10 +620,12 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
         sphc_b = jnp.zeros((4, 1), jnp.float32)
         sphc_r = jnp.zeros((2, 1), jnp.int32)
     n_tops = topb.shape[1]
-    node_exit = node_exit and norder.shape[0] == n_tops
+    node_exit = node_exit and norder is not None
     if not node_exit:
+        refp = jnp.zeros((4, 1), jnp.float32)
         norder = jnp.zeros((1, 1), jnp.int32)
         nkeys = jnp.zeros((1, 1), jnp.float32)
+        nrunb = jnp.zeros((4, 1), jnp.float32)
 
     kernel = _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops,
                                  block_rows, use_exit, node_exit,
@@ -495,13 +639,14 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
                                      jnp.float32)
     if debug_counts:
         out_specs = [state_spec,
-                     pl.BlockSpec((1, 8), lambda i, *prefetch: (i, 0),
-                                  memory_space=pltpu.SMEM)]
+                     pl.BlockSpec((8, block_rows, LANES),
+                                  lambda i, *prefetch: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((nblocks, 8), jnp.int32)]
+                     jax.ShapeDtypeStruct((8, rows, LANES), jnp.int32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=14,
+        num_scalar_prefetch=17,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((STATE_PLANES, block_rows, LANES),
@@ -524,7 +669,8 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
         out_shape=out_shape,
         interpret=interpret,
     )(sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
-      norder, nkeys, root, binfo, state3, ids3, tri_hbm)
+      crunb, refp, norder, nkeys, nrunb, root, binfo, state3, ids3,
+      tri_hbm)
 
 
 # ---------------------------------------------------------------------------
@@ -538,7 +684,8 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
                      "debug_counts"))
 def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
                                 grp_bounds, top_bounds, top_ranges,
-                                root_bound, node_orders, node_keys,
+                                root_bound, ref_pts, node_orders,
+                                node_keys, node_run_bounds,
                                 key_lo, key_hi, cam_vec, *,
                                 width, height, samples_per_pixel, depth,
                                 seed=0, block_rows=8, interpret=False,
@@ -561,6 +708,7 @@ def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
     if top_order is None:
         top_order = jnp.arange(n_tops, dtype=jnp.int32).reshape(1, -1)
         top_keys = jnp.full((1, n_tops), -jnp.inf, jnp.float32)
+    cam_run_bounds = _run_bounds_jnp(top_bounds, top_order)
     if sph_clusters is None:
         sphc_b = sphc_r = None
     else:
@@ -607,8 +755,9 @@ def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
         segments = segments + jnp.sum(state[_ST_ALIVE])
         st3 = state.reshape(STATE_PLANES, rows_total, LANES)
         id3 = ids.reshape(2, rows_total, LANES)
-        tables = tables_fixed + (top_order, top_keys, node_orders,
-                                 node_keys, root_bound, tri_hbm)
+        tables = tables_fixed + (top_order, top_keys, cam_run_bounds,
+                                 ref_pts, node_orders, node_keys,
+                                 node_run_bounds, root_bound, tri_hbm)
         st3 = _bounce_call(st3, id3, b, tables, block_rows=block_rows,
                            use_exit=(b == 0),
                            node_exit=(node_exit and b > 0),
@@ -616,7 +765,8 @@ def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
                            debug_counts=debug_counts)
         if debug_counts:
             st3, cnt = st3
-            counts.append(cnt)
+            # per-block scalars ride broadcast planes; pick lane [.., 0]
+            counts.append(cnt[:5, ::block_rows, 0].T)   # (nblocks, 5)
         state = st3.reshape(STATE_PLANES, N)
         if b < depth - 1:
             order = jnp.argsort(_sort_keys(state, key_lo, key_hi))

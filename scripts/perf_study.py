@@ -244,8 +244,47 @@ def study_stream():
             "rows": rows}
 
 
+def study_lowp():
+    """Reduced-precision render study — the TPU-native analog of the
+    reference's fixed-point experiment (raytracer/src/bin/fp_vec.rs:30-61,
+    a 16.16 Fp32 arithmetic toy): the fused kernel's sphere intersect run
+    in bfloat16 (wavefront._sphere_loop_lowp), compared against the f32
+    kernel for speed and PSNR at the headline config."""
+    import numpy as np
+    import raytracer_tpu as rt
+    from raytracer_tpu import ops as ops_mod
+    from raytracer_tpu.ops.pallas import wavefront as wf
+    world = rt.models.default_world()
+    scene, cam = world.to_scene(), world.to_camera()
+    sph, tri, _scl, _tcl = ops_mod.scene_tables(scene, True)
+    cv = wf.camera_vec(cam)
+    rows = []
+    imgs = {}
+    for name, lowp in (("f32", False), ("bf16_intersect", True)):
+        def run(s, lowp=lowp):
+            return wf.render_linear_pallas(
+                sph, tri, cv, width=512, height=512, samples_per_pixel=64,
+                depth=8, seed=s, parity_plane_sign=True, lowp=lowp)
+        img, segs = run(0)
+        imgs[name] = np.asarray(img)
+        dt = marginal(run)
+        rows.append({"dtype": name, "ms": dt * 1e3,
+                     "mrays_per_s": int(segs) / dt / 1e6})
+    a, b = imgs["f32"], imgs["bf16_intersect"]
+    mse = float(np.mean((a - b) ** 2))
+    peak = float(max(a.max(), 1e-6))
+    psnr = 10.0 * np.log10(peak * peak / max(mse, 1e-20))
+    rows[1]["psnr_db_vs_f32"] = psnr
+    return {"study": "lowp",
+            "decision": "f32 stays the production intersect dtype; the "
+                        "bf16 variant is the fp_vec.rs-analog experiment "
+                        "(quality cost measured as PSNR vs f32)",
+            "rows": rows}
+
+
 STUDIES = {"tile": study_tile, "argmin": study_argmin,
-           "clusters": study_clusters, "stream": study_stream}
+           "clusters": study_clusters, "stream": study_stream,
+           "lowp": study_lowp}
 
 
 def main() -> int:

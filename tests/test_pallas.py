@@ -212,3 +212,53 @@ class TestNegativeRadius:
         np.testing.assert_array_equal(hit, np.asarray(h2.hit))
         np.testing.assert_allclose(np.asarray(h1.normal)[hit],
                                    np.asarray(h2.normal)[hit], atol=1e-5)
+
+
+class TestLowPrecisionIntersect:
+    """bf16 sphere-intersect variant — the reduced-precision experiment
+    (fp_vec.rs analog; PERFSTUDY "lowp" study)."""
+
+    def test_bf16_close_to_f32(self, default_world):
+        scene = default_world.to_scene()
+        cam = default_world.to_camera()
+        sph = jnp.asarray(wf.pack_spheres(scene))
+        tri = jnp.asarray(wf.pack_triangles(scene))
+        cv = wf.camera_vec(cam)
+        kw = dict(width=48, height=32, samples_per_pixel=2, depth=4,
+                  block_rows=8, interpret=True)
+        f32, seg_a = wf.render_linear_pallas(sph, tri, cv, **kw)
+        b16, seg_b = wf.render_linear_pallas(sph, tri, cv, lowp=True, **kw)
+        a, b = np.asarray(f32), np.asarray(b16)
+        assert np.isfinite(b).all()
+        # the study's finding: bf16's ~3 significant digits survive on
+        # unit-scale spheres but the giant ground sphere's |oc|^2 - r^2
+        # cancels catastrophically (~1e4 - 1e4), so the default world
+        # degrades hard — that measured cliff is WHY f32 stays the
+        # production dtype (PERFSTUDY "lowp" decision)
+        mse = float(np.mean((a - b) ** 2))
+        peak = float(max(a.max(), 1e-6))
+        psnr = 10.0 * np.log10(peak * peak / max(mse, 1e-20))
+        assert psnr > 8.0, psnr
+        assert abs(int(seg_a) - int(seg_b)) < 0.25 * int(seg_a)
+
+    def test_bf16_tracks_f32_on_unit_scale_scene(self):
+        # no giant spheres -> no cancellation -> bf16 tracks f32 closely
+        w = rt.parse_input(
+            "camera origin 0.0 0.0 0.0 aspect 1.0;\n"
+            "material M : Metal color 0.9 0.8 0.7 fuzz 0.1;\n"
+            "material D : Diffuse color 0.4 0.6 0.3;\n"
+            "sphere center -0.6 0.0 -1.6 radius 0.5 material M;\n"
+            "sphere center 0.6 0.1 -1.4 radius 0.45 material D;\n")
+        scene, cam = w.to_scene(), w.to_camera()
+        sph = jnp.asarray(wf.pack_spheres(scene))
+        tri = jnp.asarray(wf.pack_triangles(scene))
+        cv = wf.camera_vec(cam)
+        kw = dict(width=48, height=32, samples_per_pixel=2, depth=4,
+                  block_rows=8, interpret=True)
+        f32, _ = wf.render_linear_pallas(sph, tri, cv, **kw)
+        b16, _ = wf.render_linear_pallas(sph, tri, cv, lowp=True, **kw)
+        a, b = np.asarray(f32), np.asarray(b16)
+        mse = float(np.mean((a - b) ** 2))
+        peak = float(max(a.max(), 1e-6))
+        psnr = 10.0 * np.log10(peak * peak / max(mse, 1e-20))
+        assert psnr > 22.0, psnr

@@ -31,12 +31,15 @@ def sorted_tables(mesh_world):
 class TestSortedTables:
     def test_layout(self, mesh_world, sorted_tables):
         scene, _ = mesh_world
-        (tri_hbm, subb, subn, grpb, topb, topr, root, norder, nkeys,
-         klo, khi) = sorted_tables
+        (tri_hbm, subb, subn, grpb, topb, topr, root, refp, norder,
+         nkeys, nrunb, klo, khi) = sorted_tables
         C = topb.shape[1]
-        assert norder.shape == (C, C) and nkeys.shape == (C, C)
+        NR = -(-C // wso.REF_TOPS)
+        R8 = -(-C // wso.RUN)
+        assert norder.shape == (NR, C) and nkeys.shape == (NR, C)
+        assert refp.shape == (4, NR) and nrunb.shape == (4, NR * R8)
         # each row is a permutation with nondecreasing keys
-        for i in range(min(C, 4)):
+        for i in range(min(NR, 4)):
             assert sorted(np.asarray(norder[i]).tolist()) == list(range(C))
             k = np.asarray(nkeys[i])
             assert (np.diff(k[np.isfinite(k)]) >= -1e-6).all()
