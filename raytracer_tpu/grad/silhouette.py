@@ -1,0 +1,231 @@
+"""Silhouette (visibility-boundary) gradients via analytic edge sampling.
+
+Plain reverse-mode AD through the renderer follows the selected branch of
+every hit/miss decision, so it captures SHADING derivatives but drops the
+BOUNDARY terms: moving a sphere also moves which pixels it covers, and the
+loss changes by (radiance inside - radiance outside) x (edge velocity)
+integrated along the silhouette.  Finite differences see those terms; AD
+alone does not (VERDICT r1 item 4 / r2 item 3).
+
+This module adds the boundary term with the edge-sampling estimator of
+differentiable rasterization/ray tracing (Li et al. 2018), specialized to
+PRIMARY sphere silhouettes where everything is analytic on TPU:
+
+  * the silhouette of sphere (c, r) seen from the camera origin o is the
+    circle  p(phi) = c - (r^2/d) w_hat + r cos(alpha) (e1 cos phi +
+    e2 sin phi),  d = |c - o|, sin(alpha) = r/d — no edge detection or
+    rejection sampling, just N uniform phi samples per sphere;
+  * each edge point maps to image coordinates (u, v) by solving
+    llc + u*h + v*vv - o = t (p - o) (a 3x3 solve), and the edge VELOCITY
+    d(u,v)/d(c, r) comes from jax.jacfwd of that map — exact, no finite
+    differences;
+  * the radiance jump is measured by tracing one ray just inside and one
+    just outside the edge (the full path tracer, so occlusion is
+    automatic: if another object covers the edge pixel, both rays hit it
+    and the jump is zero);
+  * the estimator for any image loss with cotangent g = dL/dimage:
+
+      dL/dtheta |_boundary ~= sum_k  g[pix_k] . (f_in - f_out)_k
+                              * (n_hat_k . d(uv)_k/dtheta)
+                              * |d(uv)_k/dphi| * (2*pi / N) / A_cell
+
+    with A_cell the pixel footprint in (u, v) space and n_hat the
+    outward image-space edge normal.
+
+Scope: primary-visibility sphere silhouettes.  Secondary-bounce
+silhouettes (edges seen in reflections/refractions) and triangle mesh
+silhouettes still fall back to interior-only gradients — they need path
+reparameterization, which remains future work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from .. import intersect, render as render_mod
+from ..camera import Camera
+from ..scene import Scene
+
+
+def _edge_uv(camera: Camera, c, r, phi):
+    """Image coordinates (u, v) of the silhouette point of sphere (c, r)
+    at angle ``phi``, plus validity.  Differentiable w.r.t. c and r."""
+    o = camera.origin
+    w = c - o
+    d2 = jnp.sum(w * w)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    w_hat = w / d
+    # any stable orthobasis of the silhouette plane
+    up = jnp.where(jnp.abs(w_hat[1]) < 0.9,
+                   jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+                   jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+    e1 = jnp.cross(up, w_hat)
+    e1 = e1 / jnp.sqrt(jnp.maximum(jnp.sum(e1 * e1), 1e-12))
+    e2 = jnp.cross(w_hat, e1)
+    r_abs = jnp.abs(r)
+    cos_a2 = jnp.maximum(1.0 - (r_abs * r_abs) / jnp.maximum(d2, 1e-12),
+                         0.0)
+    ring = r_abs * jnp.sqrt(cos_a2)
+    p = (c - (r_abs * r_abs / d) * w_hat
+         + ring * (jnp.cos(phi) * e1 + jnp.sin(phi) * e2))
+    # solve llc + u h + v vv - o = t (p - o)
+    A = jnp.stack([camera.horizontal, camera.vertical, -(p - o)], axis=1)
+    rhs = o - camera.lower_left_corner
+    uvt = jnp.linalg.solve(A, rhs)
+    return uvt[0], uvt[1], uvt[2], d2 > r_abs * r_abs
+
+
+def silhouette_grad(scene: Scene, camera: Camera, g_img, *, width: int,
+                    height: int, depth: int,
+                    parity_plane_sign: bool = True, seed: int = 0,
+                    n_edge: int = 512, delta: float = 5e-4):
+    """Boundary-term gradients (d_center [S, 3], d_radius [S]) for an
+    image cotangent ``g_img`` [H, W, 3] (dL/d mean-linear-radiance).
+
+    ``n_edge`` silhouette samples per sphere; ``delta`` is the image-space
+    offset (in u,v units) of the inside/outside radiance probes.
+    """
+    S = scene.num_spheres
+    phi = (jnp.arange(n_edge, dtype=jnp.float32) + 0.5) \
+        * (2.0 * np.pi / n_edge)
+    pack = intersect.pack_scene(scene)
+    seed_word = jnp.uint32(seed) * render_mod._SEED_MIX
+
+    def per_sphere(si):
+        c = scene.sphere_center[si]
+        r = scene.sphere_radius[si]
+        valid_sphere = scene.sphere_valid[si]
+
+        def uv_of(c_, r_, ph):
+            u, v, t, ok = _edge_uv(camera, c_, r_, ph)
+            return jnp.stack([u, v]), (t, ok)
+
+        # values + jacobians w.r.t. phi (tangent), center and radius
+        uv, (t_hit, ok) = jax.vmap(lambda ph: uv_of(c, r, ph))(phi)
+        duv_dphi = jax.vmap(
+            lambda ph: jax.jacfwd(lambda q: uv_of(c, r, q)[0])(ph))(phi)
+        duv_dc = jax.vmap(
+            lambda ph: jax.jacfwd(lambda cc: uv_of(cc, r, ph)[0])(c))(phi)
+        duv_dr = jax.vmap(
+            lambda ph: jax.jacfwd(lambda rr: uv_of(c, rr, ph)[0])(r))(phi)
+
+        u, v = uv[:, 0], uv[:, 1]
+        inside_img = ((u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+                      & (t_hit > 0.0) & ok & valid_sphere
+                      & (jnp.abs(r) > 1e-6))
+
+        # outward image-space normal: perpendicular of the tangent,
+        # oriented away from the sphere's projected center
+        tan = duv_dphi                                  # [N, 2]
+        tlen = jnp.sqrt(jnp.maximum(jnp.sum(tan * tan, -1), 1e-20))
+        n1 = jnp.stack([tan[:, 1], -tan[:, 0]], -1) / tlen[:, None]
+        uc, vc, _, _ = _edge_uv(camera, c, jnp.float32(0.0),
+                                jnp.float32(0.0))
+        away = uv - jnp.stack([uc, vc])
+        sign = jnp.sign(jnp.sum(n1 * away, -1))
+        sign = jnp.where(sign == 0.0, 1.0, sign)
+        n_hat = n1 * sign[:, None]                      # [N, 2] outward
+
+        # radiance just inside / outside the edge
+        uv_in = uv - delta * n_hat
+        uv_out = uv + delta * n_hat
+
+        def shoot(uvs):
+            uu, vv = uvs[:, 0], uvs[:, 1]
+            d3 = (camera.lower_left_corner[None, :]
+                  + uu[:, None] * camera.horizontal[None, :]
+                  + vv[:, None] * camera.vertical[None, :]
+                  - camera.origin[None, :])
+            # the intersector assumes unit directions (a == 1 exactly,
+            # intersect.sphere_hits_batch)
+            d3 = d3 / jnp.linalg.norm(d3, axis=-1, keepdims=True)
+            o3 = jnp.broadcast_to(camera.origin, d3.shape)
+            # COMMON RANDOM NUMBERS across the in/out pair: identical
+            # pcg3d streams make the radiance difference vanish when both
+            # probes hit the same (occluding) surface, and cancel diffuse
+            # sampling noise in the jump estimate otherwise
+            pix_id = (jnp.arange(n_edge, dtype=jnp.uint32)
+                      + jnp.uint32(si) * jnp.uint32(n_edge)
+                      + seed_word)
+            rad, _segs = render_mod.trace_rays(
+                scene, pack, o3, d3, pix_id, jnp.uint32(0), depth,
+                parity_plane_sign)
+            return rad
+
+        f_in = shoot(uv_in)
+        f_out = shoot(uv_out)
+        df = f_in - f_out                               # [N, 3]
+
+        # loss cotangent at the edge pixel
+        col = jnp.clip((u * (width - 1)).astype(jnp.int32), 0, width - 1)
+        row = jnp.clip((v * (height - 1)).astype(jnp.int32), 0, height - 1)
+        g_edge = g_img[row, col]                        # [N, 3]
+        w_scalar = jnp.sum(g_edge * df, -1)             # [N]
+
+        a_cell = 1.0 / ((width - 1) * (height - 1))
+        meas = tlen * (2.0 * np.pi / n_edge) / a_cell
+        w_all = jnp.where(inside_img, w_scalar * meas, 0.0)
+
+        d_c = jnp.sum(
+            w_all[:, None]
+            * jnp.einsum("nk,nkj->nj", n_hat, duv_dc), axis=0)
+        d_r = jnp.sum(w_all * jnp.sum(n_hat * duv_dr, -1))
+        return d_c, d_r
+
+    d_c, d_r = jax.vmap(per_sphere)(jnp.arange(S))
+    return d_c, d_r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "samples_per_pixel", "depth",
+                     "parity_plane_sign", "n_edge", "param_keys"))
+def _loss_and_grad(scene, camera, target, params, param_keys, *, width,
+                   height, samples_per_pixel, depth, parity_plane_sign,
+                   seed, n_edge):
+    from .params import apply_params
+
+    def loss_fn(p):
+        s = apply_params(scene, p)
+        img, _ = render_mod.render_linear(
+            s, camera, width=width, height=height,
+            samples_per_pixel=samples_per_pixel, depth=depth,
+            parity_plane_sign=parity_plane_sign, seed=seed)
+        return jnp.mean((img - target) ** 2), img
+
+    (loss, img), interior = jax.value_and_grad(loss_fn, has_aux=True)(
+        params)
+    g_img = 2.0 * (img - target) / img.size
+
+    from .params import apply_params as ap
+    s_now = ap(scene, params)
+    d_c, d_r = silhouette_grad(
+        s_now, camera, g_img, width=width, height=height, depth=depth,
+        parity_plane_sign=parity_plane_sign, seed=seed + 7919,
+        n_edge=n_edge)
+    grads = dict(interior)
+    if "sphere_center" in param_keys:
+        grads["sphere_center"] = grads["sphere_center"] + d_c
+    if "sphere_radius" in param_keys:
+        grads["sphere_radius"] = grads["sphere_radius"] + d_r
+    return loss, grads
+
+
+def value_and_grad_with_silhouette(scene: Scene, camera: Camera, target,
+                                   params, *, width: int, height: int,
+                                   samples_per_pixel: int, depth: int,
+                                   parity_plane_sign: bool = True,
+                                   seed: int = 0, n_edge: int = 512):
+    """(loss, grads) for the UNMASKED MSE image loss: interior gradients
+    by reverse-mode AD plus the sphere-silhouette boundary term —
+    gradients usable across visibility boundaries without eroding the
+    loss to silhouette interiors."""
+    return _loss_and_grad(
+        scene, camera, target, params, tuple(sorted(params.keys())),
+        width=width, height=height, samples_per_pixel=samples_per_pixel,
+        depth=depth, parity_plane_sign=parity_plane_sign, seed=seed,
+        n_edge=n_edge)

@@ -389,18 +389,13 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
                           n_sph_clusters, ox, oy, oz, dx, dy, dz, alive, hs0)
         hs, _ = _sphere_normals(ox, oy, oz, dx, dy, dz, hs)
 
-        # Row-grouped triangle loops: the sub-leaf bound test and the
-        # member loop run per (8, 128)-lane row group instead of per whole
-        # block.  A sub-leaf needed by one corner of the block no longer
-        # costs every lane: with sorted rays the per-1024-ray candidate
-        # union is much smaller than the block union, and an (8, 128) op
-        # is one native vreg, so skipped groups are pure savings.
-        NRG = max(R // 8, 1)
-        rg_slices = [slice(rg * 8, (rg + 1) * 8) for rg in range(NRG)]
-        tri_bodies = [
-            _make_tri_body(lambda row, i: tri_smem[row, i], False,
-                           ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl])
-            for sl in rg_slices]
+        # NOTE: a row-grouped variant (sub-leaf tests + member loops per
+        # (8,128) row group) was measured SLOWER despite ~40% fewer lane
+        # tests — Mosaic's per-fori overhead exceeds the vector savings at
+        # this granularity (PERFSTUDY "sorted" study) — so the triangle
+        # loop runs at whole-block granularity.
+        tri_body = _make_tri_body(lambda row, i: tri_smem[row, i], False,
+                                  ox, oy, oz, dx, dy, dz)
         # Root test with an EXIT-DISTANCE cap: every triangle lies inside
         # the root sphere, so a ray that entered it cannot hit one past
         # the point where it leaves — min(t_best, t_cap) is therefore a
@@ -468,28 +463,15 @@ def _make_bounce_kernel(n_spheres, n_sph_clusters, n_tops, block_rows,
                     c_sub, c_tri = carry2[0], carry2[1]
                     hs = carry2[2:]
                     li = g * GROUP_SUBS + k
+                    psub = _bound_test(subb_ref, li, ox, oy, oz, dx, dy,
+                                       dz, cull_t(hs[0]), alive)
+                    any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
+                    n = jnp.where((any_s > 0.0) & (any_g > 0.0),
+                                  subn_ref[0, li], 0)
+                    c_sub = c_sub + (n > 0).astype(jnp.int32)
+                    c_tri = c_tri + n
                     off = base + k * SUB
-                    n_all = jnp.where(any_g > 0.0, subn_ref[0, li], 0)
-                    parts = [[] for _ in hs]
-                    hit_any = jnp.int32(0)
-                    for rg, sl in enumerate(rg_slices):
-                        hs_rg = tuple(p[sl] for p in hs)
-                        tcull = jnp.minimum(hs_rg[0], t_cap[sl])
-                        psub = _bound_test(subb_ref, li, ox[sl], oy[sl],
-                                           oz[sl], dx[sl], dy[sl], dz[sl],
-                                           tcull, alive[sl])
-                        any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
-                        n_rg = jnp.where(any_s > 0.0, n_all, 0)
-                        c_tri = c_tri + n_rg
-                        hit_any = hit_any | (n_rg > 0).astype(jnp.int32)
-                        hs_rg = jax.lax.fori_loop(off, off + n_rg,
-                                                  tri_bodies[rg], hs_rg)
-                        for q, pq in enumerate(hs_rg):
-                            parts[q].append(pq)
-                    c_sub = c_sub + hit_any
-                    hs = tuple(
-                        ps[0] if len(ps) == 1
-                        else jnp.concatenate(ps, axis=0) for ps in parts)
+                    hs = jax.lax.fori_loop(off, off + n, tri_body, hs)
                     return (c_sub, c_tri) + hs
 
                 out = jax.lax.fori_loop(0, GROUP_SUBS, sub_body,
