@@ -1,10 +1,20 @@
-"""Custom ops: the fused Pallas render kernel + engine dispatch.
+"""Custom ops: the Pallas render engines + engine dispatch.
 
 ``render_linear_fast`` picks the fastest available engine for a forward
-render: the fused Pallas TPU megakernel when running on TPU and the scene
-fits its SMEM scene-table limits, else the XLA wavefront path (which is also
-the differentiable path — the kernel is forward-only until it grows a custom
-VJP).
+render (``resolve_dispatch``):
+
+  * ``pallas_sorted`` — per-bounce kernel with inter-bounce ray
+    reordering (wavefront_sorted.py); triangle-heavy exact-plane scenes;
+  * ``pallas`` — the fused SMEM megakernel (wavefront.py); scenes whose
+    packed tables fit scalar memory — the headline sphere-scene engine;
+  * ``pallas_stream`` — the fused HBM-streaming kernel
+    (wavefront_stream.py); big-mesh fallback (e.g. reference-parity plane
+    sign, where sorted's culling is unsound);
+  * ``xla`` — the wavefront renderer (render.py); CPU and oversized
+    scenes.
+
+Differentiable rendering rides ``ops.diff.render_linear_diff`` (custom
+VJP: kernel forward + hand-derived backward kernel, wavefront_bwd.py).
 """
 
 from __future__ import annotations

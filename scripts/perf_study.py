@@ -244,6 +244,85 @@ def study_stream():
             "rows": rows}
 
 
+def study_sorted():
+    """Sorted-compaction engine vs the fused kernels on triangle scenes —
+    the round-3 design-decision record behind auto-dispatch preferring
+    pallas_sorted for >=SORTED_MIN_TRIS exact-plane scenes, and behind the
+    in-engine choices (hybrid sort key, run-level walk, whole-block
+    triangle loops; see wavefront_sorted.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import raytracer_tpu as rt
+    from raytracer_tpu import ops as ops_mod
+    from raytracer_tpu.ops.pallas import wavefront as wf
+    from raytracer_tpu.ops.pallas import wavefront_stream as ws
+    from raytracer_tpu.ops.pallas import wavefront_sorted as wso
+    from raytracer_tpu.models.builders import icosphere_mesh
+    from raytracer_tpu.scene import (DIFFUSE, METAL, build_materials,
+                                     build_scene)
+
+    rows = []
+
+    def bench_engines(name, scene, cam, depth=4):
+        cv = wf.camera_vec(cam)
+        # streamed fused kernel (round-2 engine)
+        (sphS, sph_clS, tri_hbmS, leafbS, leafnS,
+         topbS, toprS, rootS) = ops_mod.scene_stream_tables(scene)
+        oS, kS = ws.sorted_top_order(np.asarray(topbS),
+                                     np.asarray(cam.origin))
+        oS, kS = jnp.asarray(oS), jnp.asarray(kS)
+
+        def run_stream(s):
+            return ws.render_linear_pallas_stream(
+                sphS, tri_hbmS, leafbS, leafnS, topbS, toprS, rootS, cv,
+                width=512, height=512, samples_per_pixel=4, depth=depth,
+                seed=s, sph_clusters=sph_clS, top_order=oS, top_keys=kS)
+        _, segs = run_stream(0)
+        dt = marginal(run_stream, k=2)
+        rows.append({"scene": name, "engine": "pallas_stream",
+                     "depth": depth, "ms": dt * 1e3,
+                     "mrays_per_s": int(segs) / dt / 1e6})
+
+        (sph, sph_cl, *restT) = ops_mod.scene_sorted_tables(scene)
+        o2, k2 = wso.sorted_top_order(np.asarray(restT[4]),
+                                      np.asarray(cam.origin))
+        o2, k2 = jnp.asarray(o2), jnp.asarray(k2)
+
+        def run_sorted(s):
+            return wso.render_linear_pallas_sorted(
+                sph, *restT, cv, width=512, height=512,
+                samples_per_pixel=4, depth=depth, seed=s, block_rows=16,
+                sph_clusters=sph_cl, top_order=o2, top_keys=k2)
+        _, segs = run_sorted(0)
+        dt = marginal(run_sorted, k=2)
+        rows.append({"scene": name, "engine": "pallas_sorted",
+                     "depth": depth, "ms": dt * 1e3,
+                     "mrays_per_s": float(segs) / dt / 1e6})
+
+    scene, cam = rt.models.obj_mesh_scene()
+    bench_engines("obj_10k", scene, cam)
+
+    tris = (icosphere_mesh((-0.6, 0.0, -1.4), 0.45, 0, 6)
+            + icosphere_mesh((0.6, 0.0, -1.2), 0.45, 2, 6))
+    mats = build_materials([(DIFFUSE, (0.7, 0.3, 0.3), 0.0, 1.0),
+                            (DIFFUSE, (0.8, 0.8, 0.0), 0.0, 1.0),
+                            (METAL, (0.85, 0.85, 0.9), 0.05, 1.0)])
+    big = build_scene([((0.0, -100.5, -1.0), 100.0, 1)], tris, mats,
+                      exact_planes=True)
+    bench_engines("icospheres_164k", big, cam)
+
+    return {"study": "sorted",
+            "decision": "per-bounce kernel + inter-bounce Morton/direction "
+                        "sort replaces the in-kernel bounce loop for "
+                        "triangle-heavy scenes (auto-dispatch >= "
+                        f"{ops_mod.SORTED_MIN_TRIS} tris); rejected "
+                        "variants measured and kept out: per-group DMA "
+                        "(latency-bound), position-only and "
+                        "direction-major sort keys, row-grouped triangle "
+                        "loops (fori overhead > vector savings)",
+            "rows": rows}
+
+
 def study_lowp():
     """Reduced-precision render study — the TPU-native analog of the
     reference's fixed-point experiment (raytracer/src/bin/fp_vec.rs:30-61,
@@ -284,7 +363,7 @@ def study_lowp():
 
 STUDIES = {"tile": study_tile, "argmin": study_argmin,
            "clusters": study_clusters, "stream": study_stream,
-           "lowp": study_lowp}
+           "sorted": study_sorted, "lowp": study_lowp}
 
 
 def main() -> int:
