@@ -100,6 +100,14 @@ def can_use_pallas_stream(scene: Scene, parity_plane_sign: bool) -> bool:
     return stream_smem_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES
 
 
+def _host_scene(scene: Scene) -> Scene:
+    """One batched device->host pull of the whole scene pytree: the
+    packers touch every field with numpy, and per-field pulls over a
+    remote-device tunnel cost seconds each (measured ~80 s for the 164k
+    scene vs ~1 s packed from host arrays)."""
+    return jax.device_get(scene)
+
+
 # Host-side scene packing is O(S + T log T) numpy work per call; interactive
 # camera moves and bench loops render the SAME scene object every frame, so
 # the packed tables are memoized on scene identity (lib.rs:60-63 interactive
@@ -119,10 +127,11 @@ def scene_tables(scene: Scene, parity_plane_sign: bool):
         return hit[1]
     from .pallas import wavefront as wf
     pack_events += 1
+    scene_h = _host_scene(scene)
     sph_perm = tri_perm = None
     sph_cl = tri_cl = None
-    if int(np.sum(np.asarray(scene.sphere_valid))) >= CLUSTER_MIN_SPHERES:
-        sph_perm, b, rg = wf.cluster_spheres(scene)
+    if int(np.sum(scene_h.sphere_valid)) >= CLUSTER_MIN_SPHERES:
+        sph_perm, b, rg = wf.cluster_spheres(scene_h)
         sph_cl = (jnp.asarray(b), jnp.asarray(rg))
     # Triangle culling is only sound with the CORRECT plane equation:
     # under parity_plane_sign (the reference's wrong-sign formula,
@@ -130,12 +139,11 @@ def scene_tables(scene: Scene, parity_plane_sign: bool):
     # t values unrelated to the triangle's actual geometry, so no
     # vertex-derived bound contains them.
     if (not parity_plane_sign
-            and int(np.sum(np.asarray(scene.tri_valid)))
-            >= CLUSTER_MIN_TRIS):
-        tri_perm, b, rg = wf.cluster_triangles(scene)
+            and int(np.sum(scene_h.tri_valid)) >= CLUSTER_MIN_TRIS):
+        tri_perm, b, rg = wf.cluster_triangles(scene_h)
         tri_cl = (jnp.asarray(b), jnp.asarray(rg))
-    sph = jnp.asarray(wf.pack_spheres(scene, perm=sph_perm))
-    tri = jnp.asarray(wf.pack_triangles(scene, perm=tri_perm))
+    sph = jnp.asarray(wf.pack_spheres(scene_h, perm=sph_perm))
+    tri = jnp.asarray(wf.pack_triangles(scene_h, perm=tri_perm))
     tables = (sph, tri, sph_cl, tri_cl)
     # prune entries whose scene died (cheap: the cache stays tiny)
     dead = [k for k, v in _TABLE_CACHE.items() if v[0]() is None]
@@ -158,14 +166,15 @@ def scene_sorted_tables(scene: Scene):
     from .pallas import wavefront as wf
     from .pallas import wavefront_sorted as wso
     pack_events += 1
+    scene_h = _host_scene(scene)
     sph_perm = None
     sph_cl = None
-    if int(np.sum(np.asarray(scene.sphere_valid))) >= CLUSTER_MIN_SPHERES:
-        sph_perm, b, rg = wf.cluster_spheres(scene)
+    if int(np.sum(scene_h.sphere_valid)) >= CLUSTER_MIN_SPHERES:
+        sph_perm, b, rg = wf.cluster_spheres(scene_h)
         sph_cl = (jnp.asarray(b), jnp.asarray(rg))
-    sph = jnp.asarray(wf.pack_spheres(scene, perm=sph_perm))
+    sph = jnp.asarray(wf.pack_spheres(scene_h, perm=sph_perm))
     sorted_t = tuple(jnp.asarray(t)
-                     for t in wso.build_tri_sorted_tables(scene))
+                     for t in wso.build_tri_sorted_tables(scene_h))
     tables = (sph, sph_cl) + sorted_t
     _TABLE_CACHE[key] = (weakref.ref(scene), tables)
     return tables
@@ -213,14 +222,15 @@ def scene_stream_tables(scene: Scene):
     from .pallas import wavefront as wf
     from .pallas import wavefront_stream as ws
     pack_events += 1
+    scene_h = _host_scene(scene)
     sph_perm = None
     sph_cl = None
-    if int(np.sum(np.asarray(scene.sphere_valid))) >= CLUSTER_MIN_SPHERES:
-        sph_perm, b, rg = wf.cluster_spheres(scene)
+    if int(np.sum(scene_h.sphere_valid)) >= CLUSTER_MIN_SPHERES:
+        sph_perm, b, rg = wf.cluster_spheres(scene_h)
         sph_cl = (jnp.asarray(b), jnp.asarray(rg))
-    sph = jnp.asarray(wf.pack_spheres(scene, perm=sph_perm))
+    sph = jnp.asarray(wf.pack_spheres(scene_h, perm=sph_perm))
     stream = tuple(jnp.asarray(t)
-                   for t in ws.build_tri_stream_tables(scene))
+                   for t in ws.build_tri_stream_tables(scene_h))
     tables = (sph, sph_cl) + stream
     _TABLE_CACHE[key] = (weakref.ref(scene), tables)
     return tables
