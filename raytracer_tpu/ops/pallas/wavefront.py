@@ -343,8 +343,6 @@ def _sphere_loop_lowp(sph_ref, n_spheres, ox, oy, oz, dx, dy, dz, hs0):
     bf = jnp.bfloat16
     oxl, oyl, ozl = ox.astype(bf), oy.astype(bf), oz.astype(bf)
     dxl, dyl, dzl = dx.astype(bf), dy.astype(bf), dz.astype(bf)
-    t_min = jnp.bfloat16(float(T_MIN))
-    big = jnp.bfloat16(float(BIG))
 
     def sph_body(si, hs):
         (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx) = hs
@@ -352,20 +350,22 @@ def _sphere_loop_lowp(sph_ref, n_spheres, ox, oy, oz, dx, dy, dz, hs0):
         cy = sph_ref[_SPH_CY, si]
         cz = sph_ref[_SPH_CZ, si]
         r2f = sph_ref[_SPH_R2, si]
-        ocx = oxl - jnp.bfloat16(cx)
-        ocy = oyl - jnp.bfloat16(cy)
-        ocz = ozl - jnp.bfloat16(cz)
-        r2 = jnp.bfloat16(r2f)
-        half_b = ocx * dxl + ocy * dyl + ocz * dzl
-        cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        ocx = oxl - bf(cx)
+        ocy = oyl - bf(cy)
+        ocz = ozl - bf(cz)
+        # the MULTIPLY/FMA chain (the bulk of the loop) runs in bf16;
+        # root selection upcasts — Mosaic has no bf16 compare/select
+        half_b = (ocx * dxl + ocy * dyl + ocz * dzl).astype(jnp.float32)
+        cc = (ocx * ocx + ocy * ocy + ocz * ocz
+              - bf(r2f)).astype(jnp.float32)
         disc = half_b * half_b - cc
-        ok = (disc >= 0) & (r2 > 0)
-        sq = jnp.sqrt(jnp.maximum(disc, jnp.bfloat16(0.0)))
+        ok = (disc >= 0.0) & (r2f > 0.0)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         root1 = -half_b - sq
         root2 = -half_b + sq
-        t = jnp.where(root1 > t_min, root1,
-                      jnp.where(root2 > t_min, root2, big))
-        t = jnp.where(ok, t, big).astype(jnp.float32)
+        t = jnp.where(root1 > T_MIN, root1,
+                      jnp.where(root2 > T_MIN, root2, BIG))
+        t = jnp.where(ok, t, BIG)
         better = t < t_best
         t_best = jnp.where(better, t, t_best)
         nx = jnp.where(better, cx, nx)

@@ -14,18 +14,26 @@ per-lane traversal the VPU cannot do:
   * ONE BOUNCE PER LAUNCH — the bounce loop runs in XLA, carrying a flat
     SoA ray-state batch (13 f32 planes + 2 uint32 id planes) through the
     kernel;
-  * SORT BETWEEN BOUNCES — surviving rays are reordered by a Morton code
-    of their origin (7 bits/axis over the mesh bounds) + direction octant,
-    so every (block_rows x 128)-lane block the next bounce sees is a
-    spatially tight packet again and the same conservative bound tests
+  * SORT BETWEEN BOUNCES — surviving rays are reordered by a
+    [coarse cell | direction class | fine cell] key (_sort_keys), so
+    every (block_rows x 128)-lane block the next bounce sees is a tight
+    position-AND-direction packet and the same conservative bound tests
     cull like they do on primaries.  Dead rays sort to the end, where
     all-dead blocks exit the walk immediately;
   * PRIMARY RAYS IN MORTON PIXEL ORDER — bounce 0's blocks are square
     image tiles (not row stripes), with the camera-sorted front-to-back
-    top walk + early exit of the streamed kernel;
-  * 32-TRIANGLE SUB-LEAVES — the HBM table is laid out as 128-column DMA
+    walk + early exit of the streamed kernel;
+  * FRONT-TO-BACK SECONDARIES — per-reference-point visit orders +
+    conservative key adjustment (node_orders/node_keys/dmax) give
+    divergent bounces the same early exit, and each ray's culling bound
+    is capped at its ROOT-sphere exit distance so miss-rays cannot pin
+    a walk open;
+  * RUN-LEVEL WALK — one union-bound test gates 8 ordered top visits
+    (the per-block walk floor shrinks ~8x); a passing top's 1024 columns
+    arrive in ONE DMA;
+  * 32-TRIANGLE SUB-LEAVES — the HBM table is laid out as 128-column
     groups of four 32-triangle sub-leaves, each with its own bounding
-    sphere in SMEM.  Culling granularity shrinks 4x while DMA slices stay
+    sphere in SMEM: culling granularity shrinks 4x while DMA slices stay
     (8,128)-tile aligned.
 
 Physics is shared with wavefront.py (_sphere_loop/_make_tri_body/
