@@ -32,10 +32,19 @@ PRIMARY sphere silhouettes where everything is analytic on TPU:
     with A_cell the pixel footprint in (u, v) space and n_hat the
     outward image-space edge normal.
 
-Scope: primary-visibility sphere silhouettes.  Secondary-bounce
-silhouettes (edges seen in reflections/refractions) and triangle mesh
-silhouettes still fall back to interior-only gradients — they need path
-reparameterization, which remains future work.
+Triangle meshes get the same treatment via per-triangle EDGE sampling
+(``triangle_silhouette_grad``): every edge of every triangle is sampled
+uniformly, the same paired probes measure the radiance jump (which
+vanishes automatically on edges interior to a smooth surface and on
+occluded edges — no silhouette classification pass), and the image-space
+edge velocity w.r.t. the two endpoint vertices comes from jacfwd, so
+vertex gradients land directly on tri_v0/v1/v2.
+
+Scope: PRIMARY visibility boundaries (spheres analytically, triangles up
+to MAX_EDGE_TRIS by edge sampling).  Secondary-bounce silhouettes (edges
+seen in reflections/refractions) still fall back to interior-only
+gradients — they need path reparameterization, which remains future
+work.
 """
 
 from __future__ import annotations
@@ -180,13 +189,114 @@ def silhouette_grad(scene: Scene, camera: Camera, g_img, *, width: int,
     return d_c, d_r
 
 
+MAX_EDGE_TRIS = 2048   # triangle-edge sampling gate (3*T edges sampled)
+
+
+def triangle_silhouette_grad(scene: Scene, camera: Camera, g_img, *,
+                             width: int, height: int, depth: int,
+                             parity_plane_sign: bool = True, seed: int = 0,
+                             samples_per_edge: int = 8,
+                             delta: float = 5e-4):
+    """Boundary-term vertex gradients (d_v0, d_v1, d_v2 — each [T, 3]).
+
+    EVERY triangle edge is treated as a visibility boundary of its own
+    triangle (vertices are independent parameters per triangle, matching
+    extract_params' tri_v0/v1/v2): the radiance jump measured by the
+    paired probes vanishes automatically on edges interior to a smooth
+    surface and at occluded edges, so no silhouette classification is
+    needed — non-silhouette samples just contribute ~0.  The outward
+    image-space normal points away from the projected third vertex.
+    Scope gate: T <= MAX_EDGE_TRIS (3*T*samples_per_edge probe pairs).
+    """
+    T = scene.num_triangles
+    K = samples_per_edge
+    pack = intersect.pack_scene(scene)
+    seed_word = jnp.uint32(seed) * render_mod._SEED_MIX
+    ts = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+    o = camera.origin
+
+    def uv_of_point(p):
+        A = jnp.stack([camera.horizontal, camera.vertical, -(p - o)],
+                      axis=1)
+        rhs = o - camera.lower_left_corner
+        uvt = jnp.linalg.solve(A, rhs)
+        return jnp.stack([uvt[0], uvt[1]]), uvt[2]
+
+    def per_edge(ti, e):
+        verts = jnp.stack([scene.tri_v0[ti], scene.tri_v1[ti],
+                           scene.tri_v2[ti]])
+        pa = verts[e]
+        pb = verts[(e + 1) % 3]
+        pc = verts[(e + 2) % 3]
+        valid_tri = scene.tri_valid[ti]
+
+        def uv_at(pa_, pb_, t):
+            return uv_of_point((1.0 - t) * pa_ + t * pb_)
+
+        uv, tdist = jax.vmap(lambda t: uv_at(pa, pb, t))(ts)
+        duv_dpa = jax.vmap(
+            lambda t: jax.jacfwd(lambda q: uv_at(q, pb, t)[0])(pa))(ts)
+        duv_dpb = jax.vmap(
+            lambda t: jax.jacfwd(lambda q: uv_at(pa, q, t)[0])(pb))(ts)
+        tan = jax.vmap(
+            lambda t: jax.jacfwd(lambda q: uv_at(pa, pb, q)[0])(t))(ts)
+
+        u, v = uv[:, 0], uv[:, 1]
+        ok = ((u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+              & (tdist > 0.0) & valid_tri)
+        tlen = jnp.sqrt(jnp.maximum(jnp.sum(tan * tan, -1), 1e-20))
+        n1 = jnp.stack([tan[:, 1], -tan[:, 0]], -1) / tlen[:, None]
+        uv_c, _ = uv_of_point(pc)
+        away = uv - uv_c[None, :]
+        sign = jnp.sign(jnp.sum(n1 * away, -1))
+        sign = jnp.where(sign == 0.0, 1.0, sign)
+        n_hat = n1 * sign[:, None]
+
+        def shoot(uvs):
+            d3 = (camera.lower_left_corner[None, :]
+                  + uvs[:, 0:1] * camera.horizontal[None, :]
+                  + uvs[:, 1:2] * camera.vertical[None, :] - o[None, :])
+            d3 = d3 / jnp.linalg.norm(d3, axis=-1, keepdims=True)
+            o3 = jnp.broadcast_to(o, d3.shape)
+            pix_id = (jnp.arange(K, dtype=jnp.uint32)
+                      + (jnp.uint32(ti) * 3 + jnp.uint32(e))
+                      * jnp.uint32(K) + seed_word)
+            rad, _ = render_mod.trace_rays(
+                scene, pack, o3, d3, pix_id, jnp.uint32(0), depth,
+                parity_plane_sign)
+            return rad
+
+        df = shoot(uv - delta * n_hat) - shoot(uv + delta * n_hat)
+        col = jnp.clip((u * (width - 1)).astype(jnp.int32), 0, width - 1)
+        row = jnp.clip((v * (height - 1)).astype(jnp.int32), 0,
+                       height - 1)
+        g_edge = g_img[row, col]
+        a_cell = 1.0 / ((width - 1) * (height - 1))
+        w_all = jnp.where(ok, jnp.sum(g_edge * df, -1)
+                          * tlen / (K * a_cell), 0.0)
+        d_pa = jnp.sum(w_all[:, None]
+                       * jnp.einsum("nk,nkj->nj", n_hat, duv_dpa), axis=0)
+        d_pb = jnp.sum(w_all[:, None]
+                       * jnp.einsum("nk,nkj->nj", n_hat, duv_dpb), axis=0)
+        return d_pa, d_pb
+
+    tis = jnp.repeat(jnp.arange(T), 3)
+    es = jnp.tile(jnp.arange(3), T)
+    d_pa, d_pb = jax.vmap(per_edge)(tis, es)          # [3T, 3] each
+    d_v = jnp.zeros((T, 3, 3), jnp.float32)           # [T, slot, xyz]
+    d_v = d_v.at[tis, es].add(d_pa)
+    d_v = d_v.at[tis, (es + 1) % 3].add(d_pb)
+    return d_v[:, 0], d_v[:, 1], d_v[:, 2]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
-                     "parity_plane_sign", "n_edge", "param_keys"))
+                     "parity_plane_sign", "n_edge", "samples_per_edge",
+                     "param_keys"))
 def _loss_and_grad(scene, camera, target, params, param_keys, *, width,
                    height, samples_per_pixel, depth, parity_plane_sign,
-                   seed, n_edge):
+                   seed, n_edge, samples_per_edge):
     from .params import apply_params
 
     def loss_fn(p):
@@ -203,15 +313,26 @@ def _loss_and_grad(scene, camera, target, params, param_keys, *, width,
 
     from .params import apply_params as ap
     s_now = ap(scene, params)
-    d_c, d_r = silhouette_grad(
-        s_now, camera, g_img, width=width, height=height, depth=depth,
-        parity_plane_sign=parity_plane_sign, seed=seed + 7919,
-        n_edge=n_edge)
     grads = dict(interior)
-    if "sphere_center" in param_keys:
-        grads["sphere_center"] = grads["sphere_center"] + d_c
-    if "sphere_radius" in param_keys:
-        grads["sphere_radius"] = grads["sphere_radius"] + d_r
+    if "sphere_center" in param_keys or "sphere_radius" in param_keys:
+        d_c, d_r = silhouette_grad(
+            s_now, camera, g_img, width=width, height=height, depth=depth,
+            parity_plane_sign=parity_plane_sign, seed=seed + 7919,
+            n_edge=n_edge)
+        if "sphere_center" in param_keys:
+            grads["sphere_center"] = grads["sphere_center"] + d_c
+        if "sphere_radius" in param_keys:
+            grads["sphere_radius"] = grads["sphere_radius"] + d_r
+    tri_keys = [k for k in ("tri_v0", "tri_v1", "tri_v2")
+                if k in param_keys]
+    if tri_keys and scene.num_triangles <= MAX_EDGE_TRIS:
+        dv0, dv1, dv2 = triangle_silhouette_grad(
+            s_now, camera, g_img, width=width, height=height, depth=depth,
+            parity_plane_sign=parity_plane_sign, seed=seed + 104729,
+            samples_per_edge=samples_per_edge)
+        for k, dv in (("tri_v0", dv0), ("tri_v1", dv1), ("tri_v2", dv2)):
+            if k in param_keys:
+                grads[k] = grads[k] + dv
     return loss, grads
 
 
@@ -219,13 +340,16 @@ def value_and_grad_with_silhouette(scene: Scene, camera: Camera, target,
                                    params, *, width: int, height: int,
                                    samples_per_pixel: int, depth: int,
                                    parity_plane_sign: bool = True,
-                                   seed: int = 0, n_edge: int = 512):
+                                   seed: int = 0, n_edge: int = 512,
+                                   samples_per_edge: int = 16):
     """(loss, grads) for the UNMASKED MSE image loss: interior gradients
-    by reverse-mode AD plus the sphere-silhouette boundary term —
-    gradients usable across visibility boundaries without eroding the
-    loss to silhouette interiors."""
+    by reverse-mode AD plus the silhouette boundary terms — the analytic
+    sphere-circle estimator for sphere_center/sphere_radius and the
+    triangle edge-sampling estimator for tri_v0/v1/v2 (scenes up to
+    MAX_EDGE_TRIS) — gradients usable across visibility boundaries
+    without eroding the loss to silhouette interiors."""
     return _loss_and_grad(
         scene, camera, target, params, tuple(sorted(params.keys())),
         width=width, height=height, samples_per_pixel=samples_per_pixel,
         depth=depth, parity_plane_sign=parity_plane_sign, seed=seed,
-        n_edge=n_edge)
+        n_edge=n_edge, samples_per_edge=samples_per_edge)
