@@ -104,6 +104,31 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation):
     return step
 
 
+def make_silhouette_train_step(scene: Scene, camera: Camera, target,
+                               optimizer: optax.GradientTransformation, *,
+                               width: int, height: int,
+                               samples_per_pixel: int, depth: int,
+                               parity_plane_sign: bool = True,
+                               seed: int = 0, n_edge: int = 512,
+                               samples_per_edge: int = 16):
+    """Train step whose gradients include the visibility-boundary terms
+    (grad/silhouette.py) — optimization can move a silhouette across the
+    image instead of stalling where interior gradients vanish."""
+    from .silhouette import value_and_grad_with_silhouette
+
+    def step(params, opt_state):
+        loss, grads = value_and_grad_with_silhouette(
+            scene, camera, target, params, width=width, height=height,
+            samples_per_pixel=samples_per_pixel, depth=depth,
+            parity_plane_sign=parity_plane_sign, seed=seed,
+            n_edge=n_edge, samples_per_edge=samples_per_edge)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 @dataclasses.dataclass
 class FitResult:
     params: Dict[str, jax.Array]
@@ -114,19 +139,31 @@ class FitResult:
 def fit(scene: Scene, camera: Camera, target_linear, params_init,
         *, width: int, height: int, samples_per_pixel: int = 4,
         depth: int = 4, steps: int = 200, learning_rate: float = 1e-2,
-        seed: int = 0, mesh=None, optimizer=None,
+        seed: int = 0, mesh=None, optimizer=None, silhouette: bool = False,
         checkpoint_path: Optional[str] = None, checkpoint_every: int = 50,
         resume: bool = True, log_every: int = 0) -> FitResult:
     """Adam descent on the pixel loss, with optional npz checkpoint/resume.
+
+    ``silhouette=True`` adds the visibility-boundary gradient terms
+    (grad/silhouette.py) so geometry can be pulled across its own
+    silhouette (single-device only).
 
     Checkpointing is new-framework scope (the reference renders
     all-or-nothing, SURVEY.md §5 'Checkpoint / resume: None').
     """
     optimizer = optimizer or optax.adam(learning_rate)
-    loss_fn = make_loss_fn(
-        scene, camera, target_linear, width=width, height=height,
-        samples_per_pixel=samples_per_pixel, depth=depth, seed=seed, mesh=mesh)
-    step_fn = make_train_step(loss_fn, optimizer)
+    if silhouette:
+        assert mesh is None, "silhouette fit is single-device"
+        step_fn = make_silhouette_train_step(
+            scene, camera, target_linear, optimizer, width=width,
+            height=height, samples_per_pixel=samples_per_pixel,
+            depth=depth, seed=seed)
+    else:
+        loss_fn = make_loss_fn(
+            scene, camera, target_linear, width=width, height=height,
+            samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
+            mesh=mesh)
+        step_fn = make_train_step(loss_fn, optimizer)
 
     params = params_init
     opt_state = optimizer.init(params)

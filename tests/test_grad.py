@@ -467,3 +467,27 @@ triangle v0 -0.5 -0.3 -1.5  v1 0.6 -0.2 -1.6  v2 0.0 0.55 -1.4 material RED;
         assert _cos(ad_sum, fd_sum) > 0.9, _cos(ad_sum, fd_sum)
         # interior-only AD misses the boundary term entirely here
         assert _cos(plain_sum, fd_sum) < 0.6
+
+    def test_silhouette_fit_recovers_large_offset(self):
+        # start with the mirror sphere displaced by ~0.2 laterally: the
+        # overlap region is small and interior-only gradients barely see
+        # the target; the boundary term pulls the silhouette across
+        w = rt.parse_input(MIRROR_SRC)
+        scene, cam = w.to_scene(), w.to_camera()
+        W = H = 24
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=2, seed=4)
+        params0 = gradmod.extract_params(scene, ["sphere_center"])
+        true_c = np.asarray(params0["sphere_center"])
+        params0["sphere_center"] = params0["sphere_center"] + \
+            jnp.asarray([[0.22, -0.18, 0.0]])
+        err0 = float(np.abs(np.asarray(params0["sphere_center"])
+                            - true_c).max())
+        result = gradmod.fit(scene, cam, target, params0, width=W,
+                             height=H, samples_per_pixel=2, depth=2,
+                             steps=40, learning_rate=2e-2, seed=4,
+                             silhouette=True)
+        err1 = float(np.abs(np.asarray(result.params["sphere_center"])
+                            - true_c).max())
+        assert result.losses[-1] < result.losses[0] * 0.6
+        assert err1 < 0.5 * err0, (err0, err1)
