@@ -678,7 +678,7 @@ def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
                                 node_keys, node_run_bounds,
                                 key_lo, key_hi, cam_vec, *,
                                 width, height, samples_per_pixel, depth,
-                                seed=0, block_rows=8, interpret=False,
+                                seed=0, block_rows=16, interpret=False,
                                 sph_clusters=None, top_order=None,
                                 top_keys=None, node_exit=True,
                                 debug_counts=False):
@@ -687,7 +687,12 @@ def render_linear_pallas_sorted(sph_table, tri_hbm, sub_bounds, sub_counts,
     build_tri_sorted_tables; top_order/top_keys from
     ``sorted_top_order(top_bounds, camera.origin)`` drive the bounce-0
     front-to-back early exit, node_orders/node_keys the secondary-bounce
-    one.  Always the CORRECT plane equation."""
+    one.  Always the CORRECT plane equation.
+
+    block_rows=16 measured fastest on the 164k-tri depth-4 config
+    (627 / 530 / 606 / 961 ms at 8 / 16 / 32 / 64): smaller blocks pay
+    walk+DMA overhead per block, larger ones blow up the per-block
+    candidate union the lockstep triangle loop must grind through."""
     spp = samples_per_pixel
     side = 1 << max(int(max(width, height)) - 1, 1).bit_length()
     npix_m = side * side
