@@ -12,9 +12,10 @@ Mirrors ``/root/reference/raytracer/src/main.rs``:
 
 Extensions beyond the reference (all optional, keyword=value style):
   ``scene=PATH`` (the reference hardcodes an absolute path, parser.rs:47-52),
-  ``width=N``, ``out=PATH`` (.ppm or .png), ``seed=N``, ``parity=0|1``
-  (bit-exact sequential mode), ``use_scene_camera=1`` (honor the DSL camera
-  like the FFI path does).
+  ``obj=PATH`` (render a Wavefront OBJ mesh, auto-framed into the view —
+  the reference has no mesh file format), ``width=N``, ``out=PATH``
+  (.ppm or .png), ``seed=N``, ``parity=0|1`` (bit-exact sequential mode),
+  ``use_scene_camera=1`` (honor the DSL camera like the FFI path does).
 """
 
 from __future__ import annotations
@@ -55,7 +56,7 @@ def get_arguments(argv):
             break
         if matched:
             continue
-        for key in ("scene", "out"):
+        for key in ("scene", "out", "obj"):
             try:
                 rest = parser_mod.starts_with(argument, key)
                 rest = parser_mod.starts_with(rest, "=")
@@ -70,19 +71,44 @@ def get_arguments(argv):
     return samples_per_pixel, max_ray_bounces, extras
 
 
+def _obj_scene(path: str):
+    """Load an OBJ mesh auto-framed into the CLI camera's view (unit-ish
+    size at z = -1.5 over a ground sphere; corrected plane equation — OBJ
+    scenes have no reference-parity claim)."""
+    from .models import obj as obj_mod
+    from .scene import DIFFUSE, METAL, build_materials, build_scene
+    with open(path) as f:
+        src = f.read()
+    raw = obj_mod.parse_obj(src, 0)
+    lo, hi = obj_mod.obj_bounds(raw)
+    extent = float(max(max(h - l for h, l in zip(hi, lo)), 1e-6))
+    s = 0.9 / extent
+    c = [(h + l) * 0.5 * s for h, l in zip(hi, lo)]
+    tris = obj_mod.parse_obj(src, 0, scale=s,
+                             translate=(-c[0], -c[1] + 0.05, -c[2] - 1.5))
+    mats = build_materials([(DIFFUSE, (0.75, 0.45, 0.3), 0.0, 1.0),
+                            (DIFFUSE, (0.8, 0.8, 0.0), 0.0, 1.0)])
+    return build_scene([((0.0, -100.5, -1.0), 100.0, 1)], tris, mats,
+                       exact_planes=True)
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     samples, depth, extras = get_arguments(argv)
     print(f"Using:\n* Samples per pixel: {samples}\n* Max ray depth: {depth}",
           file=sys.stderr)
 
-    if "scene" in extras:
+    if "obj" in extras:
+        scene = _obj_scene(extras["obj"])
+        world = None
+    elif "scene" in extras:
         world = parser_mod.parse_world(extras["scene"])
+        scene = world.to_scene()
     else:
         world = parser_mod.parse_input(default_world_source())
-    scene = world.to_scene()
+        scene = world.to_scene()
 
-    if extras.get("use_scene_camera"):
+    if world is not None and extras.get("use_scene_camera"):
         camera = world.to_camera()
         aspect = float(camera.aspect_ratio())
     else:

@@ -164,3 +164,25 @@ class TestProgressLogger:
         # reference format: countdown, left-padded to 4 (common.rs:329)
         ScanlineLogger(buf)(7, 40)
         assert buf.getvalue() == "\rScanline: 33  "
+
+
+class TestCliObj:
+    def test_obj_argument_renders(self, tmp_path):
+        # cube OBJ -> auto-framed render through the full CLI path
+        obj = tmp_path / "cube.obj"
+        obj.write_text(
+            "v -1 -1 -1\nv 1 -1 -1\nv 1 1 -1\nv -1 1 -1\n"
+            "v -1 -1 1\nv 1 -1 1\nv 1 1 1\nv -1 1 1\n"
+            "f 1 2 3 4\nf 5 8 7 6\nf 1 5 6 2\n"
+            "f 2 6 7 3\nf 3 7 8 4\nf 5 1 4 8\n")
+        out = tmp_path / "cube.png"
+        rc = cli.main([f"obj={obj}", "samples=1", "ray_depth=2",
+                       "width=24", f"out={out}"])
+        assert rc == 0 and out.exists()
+        assert out.read_bytes()[:4] == b"\x89PNG\r"[:4]
+        # and through the PPM path with non-black content
+        out2 = tmp_path / "cube.ppm"
+        cli.main([f"obj={obj}", "samples=1", "ray_depth=2", "width=24",
+                  f"out={out2}"])
+        body = out2.read_text().split("255\n", 1)[1]
+        assert any(int(tok) > 0 for tok in body.split()[:200])
