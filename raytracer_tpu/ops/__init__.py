@@ -187,7 +187,8 @@ def sorted_smem_bytes(scene: Scene) -> int:
     from .pallas import wavefront_stream as ws
     from .pallas import wavefront_sorted as wso
     (sph, sph_cl, tri_hbm, subb, subn, grpb, topb, topr, root,
-     refp, norder, nkeys, nrunb, _klo, _khi) = scene_sorted_tables(scene)
+     refp, norder, nkeys, nrunb, _klo, _khi,
+     suba, grpa, topa) = scene_sorted_tables(scene)
     n_tops = topb.shape[1]
     r8 = -(-n_tops // wso.RUN)
     smem = 4 * (sph.size + subb.size + subn.size + grpb.size
@@ -195,6 +196,7 @@ def sorted_smem_bytes(scene: Scene) -> int:
                 + 2 * n_tops + 4 * r8            # camera order/keys/runs
                 + refp.size + norder.size        # secondary-exit tables
                 + nkeys.size + nrunb.size
+                + suba.size + grpa.size + topa.size  # AABB culling tables
                 + root.size + 1                  # root + binfo
                 + ws.TRI_ROWS_PAD * wso.TOP_SPAN)  # per-top DMA scratch
     if sph_cl is not None:
@@ -326,13 +328,14 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
         from .pallas import wavefront as wf
         from .pallas import wavefront_sorted as wso
         (sph, sph_cl, tri_hbm, subb, subn, grpb, topb, topr, root,
-         refp, norder, nkeys, nrunb, klo, khi) = scene_sorted_tables(scene)
+         refp, norder, nkeys, nrunb, klo, khi,
+         _suba, _grpa, _topa) = scene_sorted_tables(scene)
         cv = wf.camera_vec(camera)
         order, keys = wso.sorted_top_order(np.asarray(topb),
                                            np.asarray(camera.origin))
         return wso.render_linear_pallas_sorted(
             sph, tri_hbm, subb, subn, grpb, topb, topr, root,
-            refp, norder, nkeys, nrunb, klo, khi,
+            refp, norder, nkeys, nrunb, klo, khi, _suba, _grpa, _topa,
             cv, width=width, height=height,
             samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
             sph_clusters=sph_cl, top_order=jnp.asarray(order),

@@ -74,9 +74,12 @@ from .wavefront_sorted import (
     _run_bounds_jnp, build_tri_sorted_tables,  # noqa: F401 (re-export)
 )
 
-# state plane 13 carries the row id (exact in f32 for < 2^24 rows); the
-# remaining pad planes keep the row a clean (16, 128)-tile for cheap takes
-_ST_RID = 13
+# state plane 13 carries the ray's SLOT id (exact in f32 for < 2^24 rays:
+# slot = original_row * 128 + lane, the bounce-0 position), so pixel ids
+# and RNG streams survive any regrouping — row-granularity takes or full
+# per-ray sorts; the remaining pad planes keep the row a clean
+# (16, 128)-tile for cheap takes
+_ST_SLOT = 13
 P_STATE = 16
 
 # sort-key layout: [chosen top | 6-bit direction class | 9-bit origin cell]
@@ -100,6 +103,40 @@ def tile_geometry(width, height, spp, block_rows):
     ntx = -(-width // tw)
     nty = -(-height // th)
     return tw, th, ntx, nty, ntx * nty * block_rows
+
+
+def _safe_inv_dir(dx, dy, dz):
+    """Per-lane 1/d with tiny components clamped (slab test stays finite
+    and conservative: an axis-parallel ray outside a slab gets a huge
+    positive tnear and misses; inside, the +/-huge pair brackets it)."""
+    tiny = jnp.float32(1e-20)
+
+    def inv(v):
+        mag = jnp.maximum(jnp.abs(v), tiny)
+        return jnp.where(v >= 0.0, 1.0 / mag, -1.0 / mag)
+
+    return inv(dx), inv(dy), inv(dz)
+
+
+def _aabb_test(ab_ref, ci, ox, oy, oz, idx, idy, idz, t_best, alive):
+    """Conservative ray x AABB slab overlap: could any live lane hit
+    something inside box ``ci`` closer than its t_best?  Columns of
+    ``ab_ref`` are [lox, loy, loz, hix, hiy, hiz]; empty nodes carry
+    lo > hi and always miss.  2-3x tighter than the bounding-sphere test
+    on flat surface patches (the common case for mesh sub-leaves)."""
+    tx0 = (ab_ref[0, ci] - ox) * idx
+    tx1 = (ab_ref[3, ci] - ox) * idx
+    ty0 = (ab_ref[1, ci] - oy) * idy
+    ty1 = (ab_ref[4, ci] - oy) * idy
+    tz0 = (ab_ref[2, ci] - oz) * idz
+    tz1 = (ab_ref[5, ci] - oz) * idz
+    tnear = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), 0.0))
+    tfar = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                   jnp.maximum(ty0, ty1)),
+                       jnp.maximum(tz0, tz1))
+    return (tnear <= tfar) & (tfar > T_MIN) & (tnear <= t_best) & alive
 
 
 def _make_tri_body_gated(read, ox, oy, oz, dx, dy, dz):
@@ -135,7 +172,7 @@ def _make_tri_body_gated(read, ox, oy, oz, dx, dy, dz):
 
 def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                       n_tops, block_rows, *, primary, is_last, node_exit,
-                      tw, th, ntx, gated_tris=True, debug_counts=False):
+                      tw, th, ntx, gated_tris=False, debug_counts=False):
     """One render pass over a (block_rows x LANES)-ray block.
 
     ``primary``: generate bounce-0 camera rays in-kernel (no state input)
@@ -154,8 +191,8 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
         (sph_ref, sphc_b_ref, sphc_r_ref, subb_ref, subn_ref, grpb_ref,
          topb_ref, topr_ref, order_ref, keys_ref, crunb_ref, refp_ref,
          norder_ref, nkeys_ref, nrunb_ref, root_ref, klo_ref, khi_ref,
-         cam_ref, seedb_ref) = refs[:20]
-        refs = refs[20:]
+         suba_ref, grpa_ref, topa_ref, cam_ref, seedb_ref) = refs[:23]
+        refs = refs[23:]
         if not primary:
             state_ref = refs[0]
             refs = refs[1:]
@@ -174,17 +211,17 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
         zero = jnp.zeros((R, LANES), jnp.float32)
         one = jnp.ones((R, LANES), jnp.float32)
 
-        # ---- ray identity from the row-id plane -------------------------
+        # ---- ray identity from the slot-id plane ------------------------
         if primary:
             rid = (blk * R
                    + jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0))
+            lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+            slot = rid * LANES + lane
         else:
-            rid = state_ref[_ST_RID].astype(jnp.int32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-        t_idx = jax.lax.shift_right_logical(rid, np.int32(
-            R.bit_length() - 1))
-        j_idx = rid & np.int32(R - 1)
-        sl = j_idx * LANES + lane
+            slot = state_ref[_ST_SLOT].astype(jnp.int32)
+        t_idx = jax.lax.shift_right_logical(
+            slot, np.int32((R * LANES).bit_length() - 1))
+        sl = slot & np.int32(R * LANES - 1)
         p = jax.lax.shift_right_logical(sl, np.int32(lgspp))
         s = sl & np.int32(spp - 1)
         ty = t_idx // np.int32(ntx)
@@ -234,6 +271,7 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
             rb = state_ref[_ST_RB]
             alive_f = state_ref[_ST_ALIVE]
         alive = alive_f > 0.5
+        inv_x, inv_y, inv_z = _safe_inv_dir(dx, dy, dz)
 
         # ---- closest hit: spheres then the triangle walk ----------------
         hs0 = (jnp.full((R, LANES), BIG),
@@ -306,8 +344,8 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
             def grp_body(g, carry):
                 c_grp, c_sub, c_tri = carry[0], carry[1], carry[2]
                 hs = carry[3:]
-                possible = _bound_test(grpb_ref, g, ox, oy, oz, dx, dy,
-                                       dz, cull_t(hs[0]), alive)
+                possible = _aabb_test(grpa_ref, g, ox, oy, oz, inv_x,
+                                      inv_y, inv_z, cull_t(hs[0]), alive)
                 any_g = jnp.max(jnp.where(possible, 1.0, 0.0))
                 c_grp = c_grp + (any_g > 0.0).astype(jnp.int32)
                 base = (g - g0r) * GROUP
@@ -316,8 +354,8 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                     c_sub, c_tri = carry2[0], carry2[1]
                     hs = carry2[2:]
                     li = g * GROUP_SUBS + k
-                    psub = _bound_test(subb_ref, li, ox, oy, oz, dx, dy,
-                                       dz, cull_t(hs[0]), alive)
+                    psub = _aabb_test(suba_ref, li, ox, oy, oz, inv_x,
+                                      inv_y, inv_z, cull_t(hs[0]), alive)
                     any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
                     n = jnp.where((any_s > 0.0) & (any_g > 0.0),
                                   subn_ref[0, li], 0)
@@ -356,8 +394,8 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                 ci = norder_ref[ref_i, oi]
             else:
                 ci = order_ref[0, oi]
-            possible = _bound_test(topb_ref, ci, ox, oy, oz, dx, dy, dz,
-                                   cull_t(hs[0]), alive)
+            possible = _aabb_test(topa_ref, ci, ox, oy, oz, inv_x,
+                                  inv_y, inv_z, cull_t(hs[0]), alive)
             any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
             c_top = c_top + (any_p > 0.0).astype(jnp.int32)
             g0r = topr_ref[0, ci]
@@ -427,8 +465,8 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
         out_ref[_ST_RG] = rg
         out_ref[_ST_RB] = rb
         out_ref[_ST_ALIVE] = alive_f
-        out_ref[_ST_RID] = rid.astype(jnp.float32)
-        for q in range(_ST_RID + 1, P_STATE):
+        out_ref[_ST_SLOT] = slot.astype(jnp.float32)
+        for q in range(_ST_SLOT + 1, P_STATE):
             out_ref[q] = zero
 
         # ---- next-top selection -> per-lane sort keys -------------------
@@ -436,23 +474,25 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
             keys_out[...] = jnp.full((R, LANES), _KEY_DEAD, jnp.int32)
         else:
             alive2 = alive_f > 0.5
+            niv_x, niv_y, niv_z = _safe_inv_dir(dx, dy, dz)
 
             def sel_body(c, carry):
                 best_e, best_c = carry
-                bx = topb_ref[0, c]
-                by = topb_ref[1, c]
-                bz = topb_ref[2, c]
-                br2 = topb_ref[3, c]
-                ocx = ox - bx
-                ocy = oy - by
-                ocz = oz - bz
-                hb = ocx * dx + ocy * dy + ocz * dz
-                cc = ocx * ocx + ocy * ocy + ocz * ocz - br2
-                disc = hb * hb - cc
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                entry = jnp.maximum(-hb - sq, 0.0)
-                ok = (disc >= 0.0) & (-hb + sq > T_MIN) & (br2 > 0.0)
-                e = jnp.where(ok, entry, BIG)
+                tx0 = (topa_ref[0, c] - ox) * niv_x
+                tx1 = (topa_ref[3, c] - ox) * niv_x
+                ty0 = (topa_ref[1, c] - oy) * niv_y
+                ty1 = (topa_ref[4, c] - oy) * niv_y
+                tz0 = (topa_ref[2, c] - oz) * niv_z
+                tz1 = (topa_ref[5, c] - oz) * niv_z
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1),
+                                jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), 0.0))
+                tfar = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                               jnp.maximum(ty0, ty1)),
+                                   jnp.maximum(tz0, tz1))
+                ok = (tnear <= tfar) & (tfar > T_MIN)
+                e = jnp.where(ok, tnear, BIG)
                 better = e < best_e
                 return (jnp.where(better, e, best_e),
                         jnp.where(better, c, best_c))
@@ -492,9 +532,10 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
 
 def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
                block_rows, primary, is_last, node_exit, tw, th, ntx,
-               interpret, gated_tris=True, debug_counts=False):
+               interpret, gated_tris=False, debug_counts=False):
     (sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
-     crunb, refp, norder, nkeys, nrunb, root, klo, khi, tri_hbm) = tables
+     crunb, refp, norder, nkeys, nrunb, root, klo, khi, suba, grpa,
+     topa, tri_hbm) = tables
     n_spheres = sph.shape[1]
     n_sph_clusters = 0 if sphc_b is None else sphc_b.shape[1]
     if sphc_b is None:
@@ -547,7 +588,7 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
     args.append(tri_hbm)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=20,
+        num_scalar_prefetch=23,
         grid=(nblocks,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -562,25 +603,27 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
         out_shape=out_shape,
         interpret=interpret,
     )(sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
-      crunb, refp, norder, nkeys, nrunb, root, klo, khi, cam_vec, seedb,
-      *args)
+      crunb, refp, norder, nkeys, nrunb, root, klo, khi, suba, grpa,
+      topa, cam_vec, seedb, *args)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
                      "block_rows", "interpret", "node_exit",
-                     "gated_tris", "debug_counts"))
+                     "gated_tris", "ray_regroup_bounces", "debug_counts"))
 def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                                 sub_counts, grp_bounds, top_bounds,
                                 top_ranges, root_bound, ref_pts,
                                 node_orders, node_keys, node_run_bounds,
-                                key_lo, key_hi, cam_vec, *,
+                                key_lo, key_hi, sub_aabb, grp_aabb,
+                                top_aabb, cam_vec, *,
                                 width, height, samples_per_pixel, depth,
                                 seed=0, block_rows=16, interpret=False,
                                 sph_clusters=None, top_order=None,
                                 top_keys=None, node_exit=True,
-                                gated_tris=True, debug_counts=False):
+                                gated_tris=False, ray_regroup_bounces=0,
+                                debug_counts=False):
     """Mean linear radiance [H, W, 3] + segment count via the binned
     per-bounce pipeline.  Table args come from pack_spheres +
     build_tri_sorted_tables (shared with the sorted engine);
@@ -603,7 +646,8 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     tables = (sph_table, sphc_b, sphc_r, sub_bounds, sub_counts,
               grp_bounds, top_bounds, top_ranges, top_order, top_keys,
               cam_run_bounds, ref_pts, node_orders, node_keys,
-              node_run_bounds, root_bound, key_lo, key_hi, tri_hbm)
+              node_run_bounds, root_bound, key_lo, key_hi, sub_aabb,
+              grp_aabb, top_aabb, tri_hbm)
     seed_word = jnp.uint32(seed) * _SEED_MIX
 
     def seedb(b):
@@ -627,14 +671,22 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     segments = jnp.float32(width * height * spp)
 
     for b in range(1, depth):
-        rowkey = jnp.min(keys, axis=1)
-        order = jnp.argsort(rowkey)
-        # row-contiguous take: (rows, P*LANES) rows are 8 KB chunks
-        flat = jnp.moveaxis(state, 0, 1).reshape(rows_total,
-                                                 P_STATE * LANES)
-        flat = flat[order]
-        state = jnp.moveaxis(
-            flat.reshape(rows_total, P_STATE, LANES), 1, 0)
+        if b <= ray_regroup_bounces:
+            # full per-ray regroup: 1M-element argsort + 16-plane gather
+            # (~16 ms at 1M rays) — the grouping-quality ceiling; row
+            # takes below are the cheap approximation
+            order = jnp.argsort(keys.reshape(-1))
+            state = state.reshape(P_STATE, -1)[:, order].reshape(
+                P_STATE, rows_total, LANES)
+        else:
+            rowkey = jnp.min(keys, axis=1)
+            order = jnp.argsort(rowkey)
+            # row-contiguous take: (rows, P*LANES) rows are 8 KB chunks
+            flat = jnp.moveaxis(state, 0, 1).reshape(rows_total,
+                                                     P_STATE * LANES)
+            flat = flat[order]
+            state = jnp.moveaxis(
+                flat.reshape(rows_total, P_STATE, LANES), 1, 0)
         segments = segments + jnp.sum(state[_ST_ALIVE])
         out = _pass_call(tables, cam_vec, seedb(b), state, primary=False,
                          is_last=(b == depth - 1),
@@ -645,14 +697,24 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
         else:
             state, keys = out
 
-    # ---- image assembly: invert the row permutation + pure reshape ------
-    rid = state[_ST_RID, :, 0].astype(jnp.int32)
-    inv = jnp.argsort(rid)
-    flat = jnp.moveaxis(state, 0, 1).reshape(rows_total, P_STATE * LANES)
-    flat = flat[inv]
-    state = jnp.moveaxis(flat.reshape(rows_total, P_STATE, LANES), 1, 0)
-    rgb = jnp.stack([state[_ST_RR], state[_ST_RG], state[_ST_RB]],
-                    axis=-1)                       # (rows, LANES, 3)
+    # ---- image assembly: invert the regrouping + pure reshape -----------
+    if ray_regroup_bounces > 0:
+        slot = state[_ST_SLOT].reshape(-1).astype(jnp.int32)
+        inv = jnp.argsort(slot)
+        rgb = jnp.stack([state[_ST_RR].reshape(-1)[inv],
+                         state[_ST_RG].reshape(-1)[inv],
+                         state[_ST_RB].reshape(-1)[inv]],
+                        axis=-1).reshape(rows_total, LANES, 3)
+    else:
+        rid = state[_ST_SLOT, :, 0].astype(jnp.int32) // LANES
+        inv = jnp.argsort(rid)
+        flat = jnp.moveaxis(state, 0, 1).reshape(rows_total,
+                                                 P_STATE * LANES)
+        flat = flat[inv]
+        state = jnp.moveaxis(flat.reshape(rows_total, P_STATE, LANES),
+                             1, 0)
+        rgb = jnp.stack([state[_ST_RR], state[_ST_RG], state[_ST_RB]],
+                        axis=-1)                   # (rows, LANES, 3)
     ppr = LANES // spp                             # pixels per row
     tiles = rgb.reshape(nty, ntx, block_rows, ppr, spp, 3).sum(axis=4)
     tiles = tiles.reshape(nty, ntx, th, tw, 3)

@@ -32,7 +32,7 @@ class TestSortedTables:
     def test_layout(self, mesh_world, sorted_tables):
         scene, _ = mesh_world
         (tri_hbm, subb, subn, grpb, topb, topr, root, refp, norder,
-         nkeys, nrunb, klo, khi) = sorted_tables
+         nkeys, nrunb, klo, khi, suba, grpa, topa) = sorted_tables
         C = topb.shape[1]
         NR = -(-C // wso.REF_TOPS)
         R8 = -(-C // wso.RUN)
