@@ -105,6 +105,33 @@ def tile_geometry(width, height, spp, block_rows):
     return tw, th, ntx, nty, ntx * nty * block_rows
 
 
+def _regroup(state, keys, gran):
+    """Reorder rays by their sort keys at ``gran``-ray granularity.
+
+    Measured v5e gather costs at 1M rays set the design: per-element
+    gathers (~14 ms) and sub-1KB chunks are gather-engine-bound, 1-8 KB
+    contiguous chunks are ~2 ms, and (16, N) <-> (N, 16) transposes are
+    free (~0.13 ms).  So chunks of ``gran`` rays move as contiguous
+    ray-major slices: gran=128 is a plain row take, gran=16 costs ~2 ms,
+    gran=1 is the exact (expensive) per-ray argsort+gather."""
+    P, rows, lanes = state.shape
+    if gran >= lanes:
+        rowkey = jnp.min(keys, axis=1)
+        order = jnp.argsort(rowkey)
+        flat = jnp.moveaxis(state, 0, 1).reshape(rows, P * lanes)
+        return jnp.moveaxis(flat[order].reshape(rows, P, lanes), 1, 0)
+    if gran == 1:
+        order = jnp.argsort(keys.reshape(-1))
+        return state.reshape(P, -1)[:, order].reshape(P, rows, lanes)
+    nch = lanes // gran
+    ckey = keys.reshape(rows, nch, gran).min(axis=2).reshape(-1)
+    order = jnp.argsort(ckey)
+    ray_major = state.reshape(P, rows * lanes).T         # free transpose
+    chunks = ray_major.reshape(rows * nch, gran * P)
+    return chunks[order].reshape(rows * lanes, P).T.reshape(
+        P, rows, lanes)
+
+
 def _safe_inv_dir(dx, dy, dz):
     """Per-lane 1/d with tiny components clamped (slab test stays finite
     and conservative: an axis-parallel ray outside a slab gets a huge
@@ -611,7 +638,8 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
                      "block_rows", "interpret", "node_exit",
-                     "gated_tris", "ray_regroup_bounces", "debug_counts"))
+                     "gated_tris", "ray_regroup_bounces",
+                     "regroup_granularity", "debug_counts"))
 def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                                 sub_counts, grp_bounds, top_bounds,
                                 top_ranges, root_bound, ref_pts,
@@ -623,6 +651,7 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                                 sph_clusters=None, top_order=None,
                                 top_keys=None, node_exit=True,
                                 gated_tris=False, ray_regroup_bounces=0,
+                                regroup_granularity=16,
                                 debug_counts=False):
     """Mean linear radiance [H, W, 3] + segment count via the binned
     per-bounce pipeline.  Table args come from pack_spheres +
@@ -671,22 +700,8 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     segments = jnp.float32(width * height * spp)
 
     for b in range(1, depth):
-        if b <= ray_regroup_bounces:
-            # full per-ray regroup: 1M-element argsort + 16-plane gather
-            # (~16 ms at 1M rays) — the grouping-quality ceiling; row
-            # takes below are the cheap approximation
-            order = jnp.argsort(keys.reshape(-1))
-            state = state.reshape(P_STATE, -1)[:, order].reshape(
-                P_STATE, rows_total, LANES)
-        else:
-            rowkey = jnp.min(keys, axis=1)
-            order = jnp.argsort(rowkey)
-            # row-contiguous take: (rows, P*LANES) rows are 8 KB chunks
-            flat = jnp.moveaxis(state, 0, 1).reshape(rows_total,
-                                                     P_STATE * LANES)
-            flat = flat[order]
-            state = jnp.moveaxis(
-                flat.reshape(rows_total, P_STATE, LANES), 1, 0)
+        gran = 1 if b <= ray_regroup_bounces else regroup_granularity
+        state = _regroup(state, keys, gran)
         segments = segments + jnp.sum(state[_ST_ALIVE])
         out = _pass_call(tables, cam_vec, seedb(b), state, primary=False,
                          is_last=(b == depth - 1),
@@ -698,23 +713,14 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
             state, keys = out
 
     # ---- image assembly: invert the regrouping + pure reshape -----------
-    if ray_regroup_bounces > 0:
-        slot = state[_ST_SLOT].reshape(-1).astype(jnp.int32)
-        inv = jnp.argsort(slot)
-        rgb = jnp.stack([state[_ST_RR].reshape(-1)[inv],
-                         state[_ST_RG].reshape(-1)[inv],
-                         state[_ST_RB].reshape(-1)[inv]],
-                        axis=-1).reshape(rows_total, LANES, 3)
-    else:
-        rid = state[_ST_SLOT, :, 0].astype(jnp.int32) // LANES
-        inv = jnp.argsort(rid)
-        flat = jnp.moveaxis(state, 0, 1).reshape(rows_total,
-                                                 P_STATE * LANES)
-        flat = flat[inv]
-        state = jnp.moveaxis(flat.reshape(rows_total, P_STATE, LANES),
-                             1, 0)
-        rgb = jnp.stack([state[_ST_RR], state[_ST_RG], state[_ST_RB]],
-                        axis=-1)                   # (rows, LANES, 3)
+    # chunks are atomic across every regroup, so sorting by the slot plane
+    # at the finest granularity used restores the exact bounce-0 order
+    if depth > 1:
+        fin_gran = 1 if ray_regroup_bounces > 0 else regroup_granularity
+        state = _regroup(state, state[_ST_SLOT].astype(jnp.int32),
+                         fin_gran)
+    rgb = jnp.stack([state[_ST_RR], state[_ST_RG], state[_ST_RB]],
+                    axis=-1)                       # (rows, LANES, 3)
     ppr = LANES // spp                             # pixels per row
     tiles = rgb.reshape(nty, ntx, block_rows, ppr, spp, 3).sum(axis=4)
     tiles = tiles.reshape(nty, ntx, th, tw, 3)
