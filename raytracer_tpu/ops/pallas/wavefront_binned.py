@@ -389,7 +389,16 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                     c_sub = c_sub + (n > 0).astype(jnp.int32)
                     c_tri = c_tri + n
                     off = base + k * SUB
-                    hs = jax.lax.fori_loop(off, off + n, tri_body, hs)
+
+                    # 4x unroll; the rounded-up columns stay inside this
+                    # sub-leaf's zero-padded 32-column slot (never hit)
+                    def tri4(q, c):
+                        tj = off + q * 4
+                        for u in range(4):
+                            c = tri_body(tj + u, c)
+                        return c
+
+                    hs = jax.lax.fori_loop(0, (n + 3) >> 2, tri4, hs)
                     return (c_sub, c_tri) + hs
 
                 out = jax.lax.fori_loop(0, GROUP_SUBS, sub_body,
