@@ -38,16 +38,30 @@ class TestResolveDispatch:
         assert (engine, pps, warn) == ("pallas", False, None)
 
     def test_big_mesh_defaults_to_sorted_engine(self):
+        # without a known spp the conservative sorted engine is chosen
         scene = big_mesh_scene()
         engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True)
         assert (engine, pps, warn) == ("pallas_sorted", False, None)
 
-    def test_obj_scene_prefers_sorted_over_smem_kernel(self):
-        # 10k tris fits the SMEM megakernel, but divergent secondaries
-        # make the sorted per-bounce engine the faster choice
-        scene, _ = rt.models.obj_mesh_scene()
-        engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True)
+    def test_big_mesh_with_pow2_spp_uses_binned_engine(self):
+        scene = big_mesh_scene()
+        engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True,
+                                                 samples_per_pixel=4)
+        assert (engine, pps, warn) == ("pallas_binned", False, None)
+
+    def test_odd_spp_falls_back_to_sorted(self):
+        scene = big_mesh_scene()
+        engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True,
+                                                 samples_per_pixel=3)
         assert (engine, pps, warn) == ("pallas_sorted", False, None)
+
+    def test_obj_scene_prefers_binned_over_smem_kernel(self):
+        # 10k tris fits the SMEM megakernel, but divergent secondaries
+        # make the binned per-bounce engine the faster choice
+        scene, _ = rt.models.obj_mesh_scene()
+        engine, pps, warn = ops.resolve_dispatch(scene, None, tpu=True,
+                                                 samples_per_pixel=4)
+        assert (engine, pps, warn) == ("pallas_binned", False, None)
 
     def test_big_mesh_explicit_parity_warns_loudly(self):
         # honoring an explicit parity_plane_sign=True costs ~100x: the
