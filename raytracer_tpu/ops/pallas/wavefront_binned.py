@@ -199,7 +199,8 @@ def _make_tri_body_gated(read, ox, oy, oz, dx, dy, dz):
 
 def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                       n_tops, block_rows, *, primary, is_last, node_exit,
-                      tw, th, ntx, gated_tris=False, debug_counts=False):
+                      tw, th, ntx, tile_row_stride=1, gated_tris=False,
+                      debug_counts=False):
     """One render pass over a (block_rows x LANES)-ray block.
 
     ``primary``: generate bounce-0 camera rays in-kernel (no state input)
@@ -233,6 +234,7 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
 
         b = seedb_ref[1].astype(jnp.int32)
         seed_word = seedb_ref[0]
+        ty_off = seedb_ref[2].astype(jnp.int32)
         blk = pl.program_id(0)
 
         zero = jnp.zeros((R, LANES), jnp.float32)
@@ -251,8 +253,12 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
         sl = slot & np.int32(R * LANES - 1)
         p = jax.lax.shift_right_logical(sl, np.int32(lgspp))
         s = sl & np.int32(spp - 1)
-        ty = t_idx // np.int32(ntx)
-        tx = t_idx - ty * np.int32(ntx)
+        ty_l = t_idx // np.int32(ntx)
+        tx = t_idx - ty_l * np.int32(ntx)
+        # sharded renders interleave TILE ROWS across devices: device i
+        # owns global tile rows i, i+n, ... (pixel math depends only on
+        # the global (row, col), so shards match the single-device image)
+        ty = ty_l * np.int32(tile_row_stride) + ty_off
         prow = ty * np.int32(th) + jax.lax.shift_right_logical(
             p, np.int32(lgtw))
         pcol = tx * np.int32(tw) + (p & np.int32(tw - 1))
@@ -568,7 +574,8 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
 
 def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
                block_rows, primary, is_last, node_exit, tw, th, ntx,
-               interpret, gated_tris=False, debug_counts=False):
+               interpret, tile_row_stride=1, gated_tris=False,
+               debug_counts=False):
     (sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
      crunb, refp, norder, nkeys, nrunb, root, klo, khi, suba, grpa,
      topa, tri_hbm) = tables
@@ -596,6 +603,7 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
                                n_sph_clusters, n_tops, R, primary=primary,
                                is_last=is_last, node_exit=node_exit,
                                tw=tw, th=th, ntx=ntx,
+                               tile_row_stride=tile_row_stride,
                                gated_tris=gated_tris,
                                debug_counts=debug_counts)
 
@@ -648,7 +656,8 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
                      "block_rows", "interpret", "node_exit",
                      "gated_tris", "ray_regroup_bounces",
-                     "regroup_granularity", "debug_counts"))
+                     "regroup_granularity", "tile_row_stride",
+                     "shard_tile_rows", "debug_counts"))
 def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                                 sub_counts, grp_bounds, top_bounds,
                                 top_ranges, root_bound, ref_pts,
@@ -661,16 +670,28 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                                 top_keys=None, node_exit=True,
                                 gated_tris=False, ray_regroup_bounces=0,
                                 regroup_granularity=16,
+                                tile_row_offset=0, tile_row_stride=1,
+                                shard_tile_rows=None,
                                 debug_counts=False):
     """Mean linear radiance [H, W, 3] + segment count via the binned
     per-bounce pipeline.  Table args come from pack_spheres +
     build_tri_sorted_tables (shared with the sorted engine);
     top_order/top_keys from ``sorted_top_order(top_bounds,
     camera.origin)`` drive the bounce-0 front-to-back early exit.
-    Always the CORRECT plane equation."""
+    Always the CORRECT plane equation.
+
+    ``tile_row_offset``/``tile_row_stride``/``shard_tile_rows`` render an
+    interleaved TILE-ROW subset for shard_map: device i passes
+    (offset=i, stride=n, shard_tile_rows=ceil(nty/n)) and owns global
+    tile rows i, i+n, ...; per-pixel math depends only on the global
+    (row, col), so the deinterleaved shards are bitwise identical to a
+    single-device render."""
     spp = samples_per_pixel
     tw, th, ntx, nty, rows_total = tile_geometry(width, height, spp,
                                                  block_rows)
+    if shard_tile_rows is not None:
+        nty = shard_tile_rows
+        rows_total = ntx * nty * block_rows
     n_tops = top_bounds.shape[1]
     if top_order is None:
         top_order = jnp.arange(n_tops, dtype=jnp.int32).reshape(1, -1)
@@ -688,12 +709,15 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
               grp_aabb, top_aabb, tri_hbm)
     seed_word = jnp.uint32(seed) * _SEED_MIX
 
+    ty_off = jnp.asarray(tile_row_offset, jnp.int32).astype(jnp.uint32)
+
     def seedb(b):
-        return jnp.stack([seed_word, jnp.uint32(b)])
+        return jnp.stack([seed_word, jnp.uint32(b), ty_off])
 
     common = dict(width=width, height=height, spp=spp,
                   block_rows=block_rows, node_exit=node_exit, tw=tw,
                   th=th, ntx=ntx, interpret=interpret,
+                  tile_row_stride=tile_row_stride,
                   gated_tris=gated_tris)
 
     counts = []
@@ -705,8 +729,13 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
         counts.append(cnt[:5, ::block_rows, 0].T)
     else:
         state, keys = out
-    # bounce-0 live count is exactly the in-image lanes (static)
-    segments = jnp.float32(width * height * spp)
+    # bounce-0 live count is exactly this shard's in-image lanes
+    ty_g = (jnp.asarray(tile_row_offset, jnp.int32)
+            + jnp.arange(nty, dtype=jnp.int32) * tile_row_stride)
+    rows_v = jnp.clip(height - ty_g * th, 0, th)
+    cols_v = jnp.clip(width - jnp.arange(ntx, dtype=jnp.int32) * tw, 0, tw)
+    segments = (jnp.sum(rows_v) * jnp.sum(cols_v) * spp).astype(
+        jnp.float32)
 
     for b in range(1, depth):
         gran = 1 if b <= ray_regroup_bounces else regroup_granularity
@@ -734,7 +763,9 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     tiles = rgb.reshape(nty, ntx, block_rows, ppr, spp, 3).sum(axis=4)
     tiles = tiles.reshape(nty, ntx, th, tw, 3)
     img = tiles.transpose(0, 2, 1, 3, 4).reshape(nty * th, ntx * tw, 3)
-    mean = img[:height, :width] * (1.0 / spp)
+    if tile_row_stride == 1 and shard_tile_rows is None:
+        img = img[:height]
+    mean = img[:, :width] * (1.0 / spp)
     if debug_counts:
         return mean, segments, jnp.stack(counts)
     return mean, segments

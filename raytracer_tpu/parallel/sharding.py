@@ -160,6 +160,44 @@ def _sharded_stream_fn(mesh: Mesh, width: int, height: int,
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_binned_fn(mesh: Mesh, width: int, height: int,
+                       samples_per_pixel: int, depth: int, nty_per: int,
+                       interpret: bool, has_sph_cl: bool):
+    """shard_map'd BINNED per-bounce engine (VERDICT r3 item 2: the best
+    triangle engine must not silently drop to the XLA path multi-device).
+
+    Device i renders the interleaved TILE-ROW subset i, i+n, ... — the
+    binned pipeline's regroups/selection stay fully device-local (they
+    are pure optimizations), so the only collective is the segment psum
+    and the deinterleaved image is bitwise identical to a single-device
+    render of the same rows."""
+    from ..ops.pallas import wavefront_binned as wbn
+
+    n = mesh.shape[RAYS_AXIS]
+    cl_spec = (P(), P()) if has_sph_cl else None
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), cl_spec),
+        out_specs=(P(RAYS_AXIS), P()),
+        check_vma=False)
+    def run(tables, cv, order_keys, seed, sph_cl):
+        ty0 = jax.lax.axis_index(RAYS_AXIS).astype(jnp.int32)
+        order, keys = order_keys
+        mean, segs = wbn.render_linear_pallas_binned(
+            *tables, cv, width=width, height=height,
+            samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
+            sph_clusters=sph_cl, top_order=order, top_keys=keys,
+            ray_regroup_bounces=max(depth - 1, 0),
+            tile_row_offset=ty0, tile_row_stride=n,
+            shard_tile_rows=nty_per, interpret=interpret)
+        return mean, jax.lax.psum(segs, RAYS_AXIS)
+
+    return run
+
+
 def render_linear_sharded_fast(scene: Scene, camera: Camera, *, mesh: Mesh,
                                width: int, height: int,
                                samples_per_pixel: int, depth: int,
@@ -177,14 +215,21 @@ def render_linear_sharded_fast(scene: Scene, camera: Camera, *, mesh: Mesh,
     """
     from .. import ops as ops_mod
     engine, parity_plane_sign, warning = ops_mod.resolve_dispatch(
-        scene, parity_plane_sign, engine)
+        scene, parity_plane_sign, engine,
+        samples_per_pixel=samples_per_pixel)
+    if engine == "pallas_sorted":
+        # the sorted engine's multi-device form IS the binned engine
+        # (same tables, same physics, shardable tile rows)
+        engine = ("pallas_binned"
+                  if ops_mod.binned_spp_ok(samples_per_pixel)
+                  else "pallas_stream")
     if warning is not None:
         import warnings
         warnings.warn(warning, stacklevel=2)
     if engine == "pallas_stream" and parity_plane_sign:
         raise ValueError("pallas_stream requires parity_plane_sign=False "
                          "(bound culling soundness)")
-    if engine not in ("pallas", "pallas_stream"):
+    if engine not in ("pallas", "pallas_stream", "pallas_binned"):
         return render_linear_sharded(
             scene, camera, mesh=mesh, width=width, height=height,
             samples_per_pixel=samples_per_pixel, depth=depth,
@@ -193,6 +238,26 @@ def render_linear_sharded_fast(scene: Scene, camera: Camera, *, mesh: Mesh,
     cv = wf.camera_vec(camera)
     n = mesh.shape[RAYS_AXIS]
     rows_per = pad_to_multiple(height, n) // n
+    if engine == "pallas_binned":
+        from ..ops.pallas import wavefront_binned as wbn
+        from ..ops.pallas.wavefront_stream import sorted_top_order
+        (sph, sph_cl, *sorted_t) = ops_mod.scene_sorted_tables(scene)
+        order, keys = sorted_top_order(np.asarray(sorted_t[4]),
+                                       np.asarray(camera.origin))
+        tw, th, ntx, nty, _ = wbn.tile_geometry(
+            width, height, samples_per_pixel, 16)
+        nty_per = pad_to_multiple(nty, n) // n
+        run = _sharded_binned_fn(mesh, width, height, samples_per_pixel,
+                                 depth, nty_per, interpret,
+                                 sph_cl is not None)
+        mean, segs = run((sph,) + tuple(sorted_t), cv,
+                         (jnp.asarray(order), jnp.asarray(keys)),
+                         jnp.uint32(seed), sph_cl)
+        # deinterleave tile rows: device i's row block k holds global
+        # tile row k*n + i
+        mean = mean.reshape(n, nty_per, th, width, 3).transpose(
+            1, 0, 2, 3, 4)
+        return (mean.reshape(n * nty_per * th, width, 3)[:height], segs)
     if engine == "pallas_stream":
         from ..ops.pallas import wavefront_stream as ws
         (sph, sph_cl, tri_hbm, leafb, leafn,

@@ -113,6 +113,58 @@ class TestShardedPallas:
         assert np.array_equal(np.asarray(ref), np.asarray(out))
         assert int(seg_ref) == int(seg)
 
+    def test_sharded_binned_engine_bitwise_equal(self, mesh8):
+        # VERDICT r3 item 2: the fast triangle engine must shard.  Every
+        # device runs the binned per-bounce pipeline on its interleaved
+        # tile-row subset; the deinterleaved image must be bitwise equal
+        # to the single-device binned render.
+        from raytracer_tpu import ops as ops_mod
+        from raytracer_tpu.ops.pallas import wavefront as wf
+        from raytracer_tpu.ops.pallas import wavefront_binned as wbn
+        from raytracer_tpu.ops.pallas.wavefront_stream import \
+            sorted_top_order
+        scene, cam = rt.models.mesh_scene(subdivisions=2)
+        W, H, SPP, D = 64, 48, 2, 3
+        (sph, sph_cl, *sorted_t) = ops_mod.scene_sorted_tables(scene)
+        order, keys = sorted_top_order(np.asarray(sorted_t[4]),
+                                       np.asarray(cam.origin))
+        ref, seg_ref = wbn.render_linear_pallas_binned(
+            sph, *sorted_t, wf.camera_vec(cam), width=W, height=H,
+            samples_per_pixel=SPP, depth=D, interpret=True,
+            sph_clusters=sph_cl, ray_regroup_bounces=D - 1,
+            top_order=jnp.asarray(order), top_keys=jnp.asarray(keys))
+        out, seg = parallel.render_linear_sharded_fast(
+            scene, cam, mesh=mesh8, width=W, height=H,
+            samples_per_pixel=SPP, depth=D, engine="pallas_binned",
+            interpret=True)
+        assert np.array_equal(np.asarray(ref), np.asarray(out))
+        assert int(seg_ref) == int(seg)
+
+    def test_sharded_binned_odd_height(self, mesh8):
+        # tile rows that don't divide the device count: padding tiles are
+        # dead lanes, the visible rows still match bitwise
+        from raytracer_tpu import ops as ops_mod
+        from raytracer_tpu.ops.pallas import wavefront as wf
+        from raytracer_tpu.ops.pallas import wavefront_binned as wbn
+        from raytracer_tpu.ops.pallas.wavefront_stream import \
+            sorted_top_order
+        scene, cam = rt.models.mesh_scene(subdivisions=2)
+        W, H, SPP, D = 48, 37, 2, 2
+        (sph, sph_cl, *sorted_t) = ops_mod.scene_sorted_tables(scene)
+        order, keys = sorted_top_order(np.asarray(sorted_t[4]),
+                                       np.asarray(cam.origin))
+        ref, seg_ref = wbn.render_linear_pallas_binned(
+            sph, *sorted_t, wf.camera_vec(cam), width=W, height=H,
+            samples_per_pixel=SPP, depth=D, interpret=True,
+            sph_clusters=sph_cl, ray_regroup_bounces=D - 1,
+            top_order=jnp.asarray(order), top_keys=jnp.asarray(keys))
+        out, seg = parallel.render_linear_sharded_fast(
+            scene, cam, mesh=mesh8, width=W, height=H,
+            samples_per_pixel=SPP, depth=D, engine="pallas_binned",
+            interpret=True)
+        assert np.array_equal(np.asarray(ref), np.asarray(out))
+        assert int(seg_ref) == int(seg)
+
     def test_row_band_render_matches_full(self, default_world):
         # banded kernel render (shard_rows/row_offset) == matching rows of a
         # full render — the property the sharded path is built on
