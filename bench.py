@@ -166,6 +166,30 @@ def bench_all():
         "metric": f"grad_pass_paths_per_sec_{W}x{H}_{gspp}spp",
         "value": paths / dt, "unit": "paths/s",
         "vs_baseline": paths / dt / 1e6})  # vs 1 Mpaths/s nominal
+
+    # gradient pass on the 10k-tri OBJ mesh (VERDICT r3 item 3): kernel
+    # forward + hand-derived kernel backward with STATIC cluster topology
+    # and traceably recomputed bounds (ops/diff.build_tri_cull).  The XLA
+    # recompute backward cannot even compile at this size on TPU (its
+    # scan residuals materialize an (spp, depth, T, npix) tensor — 86 GB
+    # at 256^2); measured 208x slower at the largest size it does compile
+    # (32x32, see PERFSTUDY "gradbig").
+    oscene2, ocam2 = rt.models.obj_mesh_scene()
+    gt, _ = ops_mod.render_linear_fast(
+        oscene2, ocam2, width=W, height=H, samples_per_pixel=gspp,
+        depth=gd, seed=0)
+    oloss = gradmod.make_loss_fn(oscene2, ocam2, gt, width=W, height=H,
+                                 samples_per_pixel=gspp, depth=gd, seed=1,
+                                 parity_plane_sign=False, engine="pallas")
+    oparams = gradmod.extract_params(oscene2, ["tri_v0", "mat_color"])
+    ovg = jax.jit(jax.value_and_grad(oloss))
+    def run_og(_):
+        return ovg(oparams)
+    dt, _ = _time_best(run_og)
+    results.append({
+        "metric": f"grad_pass_obj10240tri_paths_per_sec_{W}x{H}_{gspp}spp",
+        "value": paths / dt, "unit": "paths/s",
+        "vs_baseline": paths / dt / 1e6})
     return results
 
 

@@ -60,6 +60,11 @@ def make_loss_fn(scene: Scene, camera: Camera, target_linear, *,
     from ..ops import diff as diff_mod
     bwd_engine = ("pallas" if engine == "pallas"
                   and diff_mod.bwd_kernel_eligible(scene) else "xla")
+    # static cluster topology for the kernel fwd/bwd (bounds recomputed
+    # traceably from live vertices every call — sound under optimization);
+    # only valid with the corrected plane equation
+    tri_cull = (diff_mod.build_tri_cull(scene)
+                if engine == "pallas" and not parity_plane_sign else None)
 
     def loss(params):
         s = apply_params(scene, params)
@@ -69,11 +74,13 @@ def make_loss_fn(scene: Scene, camera: Camera, target_linear, *,
                 s, camera, mesh=mesh, width=width, height=height,
                 samples_per_pixel=samples_per_pixel, depth=depth,
                 seed=seed, parity_plane_sign=parity_plane_sign,
-                interpret=interpret, bwd_engine=bwd_engine)
+                interpret=interpret, bwd_engine=bwd_engine,
+                tri_cull=tri_cull)
         elif mesh is None and engine == "pallas":
             img = diff_mod.render_linear_diff(
                 s, camera, (width, height, samples_per_pixel, depth, seed,
-                            parity_plane_sign, interpret, bwd_engine))
+                            parity_plane_sign, interpret, bwd_engine,
+                            None, tri_cull))
         elif mesh is None:
             img, _ = render_mod.render_linear(
                 s, camera, width=width, height=height,

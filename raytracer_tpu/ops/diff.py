@@ -19,10 +19,13 @@ preview frames) runs at kernel speed, while gradient math stays on XLA.
 A hand-derived backward kernel can replace ``_bwd`` without touching
 callers.
 
-Cluster culling is disabled on this path: the cull structures are built
-host-side from concrete geometry and would go stale as the optimizer moves
-primitives.  Typical inverse-rendering scenes are small, so the flat kernel
-loop is the right engine anyway.
+Cluster culling (round-4): the cull TOPOLOGY (median-split permutation +
+leaf ranges, ``build_tri_cull``) is frozen host-side, but the BOUNDS are
+recomputed traceably from the live vertices every call
+(``tri_cluster_bounds_jnp``) — culling stays sound as the optimizer moves
+geometry (a wandering vertex inflates its leaf's bound) and the 10k-tri
+OBJ inverse-rendering config runs the kernel fwd+bwd at culled speed
+instead of a flat 10k-triangle loop per bounce.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .. import render as render_mod
@@ -61,9 +65,11 @@ def pack_spheres_jnp(scene: Scene) -> jax.Array:
     ])
 
 
-def pack_triangles_jnp(scene: Scene) -> jax.Array:
+def pack_triangles_jnp(scene: Scene, perm=None) -> jax.Array:
     """Traceable (TRI_ROWS, T) triangle table — jnp mirror of
-    ``wavefront.pack_triangles`` (no permutation).
+    ``wavefront.pack_triangles``.  ``perm`` (static int array) reorders
+    the columns for cluster culling; gradients flow back through the
+    gather automatically.
 
     Note: the host packer precomputes in f64; this traceable version is f32
     end-to-end (TPU has no f64), costing ~1 ulp on the edge-test constants.
@@ -73,6 +79,9 @@ def pack_triangles_jnp(scene: Scene) -> jax.Array:
     v2 = scene.tri_v2.astype(jnp.float32)
     valid = scene.tri_valid
     mat = scene.tri_mat
+    if perm is not None:
+        v0, v1, v2 = v0[perm], v1[perm], v2[perm]
+        valid, mat = valid[perm], mat[perm]
     kind = scene.materials.kind.astype(jnp.float32)[mat]
     alb = scene.materials.color.astype(jnp.float32)[mat]
     fuzz = scene.materials.fuzz.astype(jnp.float32)[mat]
@@ -96,6 +105,101 @@ def pack_triangles_jnp(scene: Scene) -> jax.Array:
     return jnp.where(valid[None, :], rows, 0.0)
 
 
+class TriCull:
+    """STATIC triangle-cluster topology for the differentiable kernels.
+
+    The grouping (median-split permutation + leaf ranges) is frozen from
+    the scene geometry at build time; the BOUNDS are recomputed traceably
+    from the live vertices every call (``tri_cluster_bounds_jnp``), so
+    culling stays sound as the optimizer moves vertices — a wandering
+    vertex merely inflates its leaf's bound.  Hashable by identity so it
+    can ride the nondiff ``statics`` tuple under jit caching.
+    """
+
+    def __init__(self, perm, ranges, leaf_ids):
+        self.perm = perm            # (T,) int64: packed column -> tri
+        self.ranges = ranges        # (2, C) int32 leaf [start, end)
+        self.leaf_ids = leaf_ids    # (T,) int32 leaf id per packed column
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+_CULL_CACHE: dict = {}
+
+
+def build_tri_cull(scene: Scene, leaf_target: int = 64):
+    """Host-side static cull topology for ``scene`` (cached on identity);
+    None when the scene has too few triangles to benefit."""
+    import weakref
+    key = id(scene)
+    hit = _CULL_CACHE.get(key)
+    if hit is not None and hit[0]() is scene:
+        return hit[1]
+    scene_h = jax.device_get(scene)
+    valid = np.asarray(scene_h.tri_valid)
+    if int(valid.sum()) < 64:
+        return None
+    v0 = np.asarray(scene_h.tri_v0, np.float64)
+    v1 = np.asarray(scene_h.tri_v1, np.float64)
+    v2 = np.asarray(scene_h.tri_v2, np.float64)
+    cen = (v0 + v1 + v2) / 3.0
+    vidx = np.nonzero(valid)[0]
+    perm_v, slices = wf._median_split_order(cen[vidx], leaf_target)
+    perm = np.concatenate([vidx[perm_v],
+                           np.nonzero(~valid)[0]]).astype(np.int64)
+    C = max(len(slices), 1)
+    ranges = np.zeros((2, C), np.int32)
+    leaf_ids = np.full(len(perm), C, np.int32)   # C = dump id (invalid)
+    for k, (s, e) in enumerate(slices or [(0, 0)]):
+        ranges[0, k], ranges[1, k] = s, e
+        leaf_ids[s:e] = k
+    cull = TriCull(perm, ranges, leaf_ids)
+    dead = [k for k, v in _CULL_CACHE.items() if v[0]() is None]
+    for k in dead:
+        del _CULL_CACHE[k]
+    _CULL_CACHE[key] = (weakref.ref(scene), cull)
+    return cull
+
+
+def tri_cluster_bounds_jnp(scene: Scene, cull: TriCull) -> jax.Array:
+    """Traceable (4, C) bounding spheres [cx, cy, cz, r^2] of the cull
+    leaves, recomputed from the LIVE vertices (segment reductions over the
+    static leaf ids).  Empty leaves get r^2 = -1 (never visited)."""
+    C = cull.ranges.shape[1]
+    ids = jnp.asarray(cull.leaf_ids)
+    perm = jnp.asarray(cull.perm)
+    v0 = scene.tri_v0.astype(jnp.float32)[perm]
+    v1 = scene.tri_v1.astype(jnp.float32)[perm]
+    v2 = scene.tri_v2.astype(jnp.float32)[perm]
+    valid = scene.tri_valid[perm]
+    big = jnp.float32(1e30)
+    vmin = jnp.minimum(jnp.minimum(v0, v1), v2)
+    vmax = jnp.maximum(jnp.maximum(v0, v1), v2)
+    vmin = jnp.where(valid[:, None], vmin, big)
+    vmax = jnp.where(valid[:, None], vmax, -big)
+    lo = jax.ops.segment_min(vmin, ids, num_segments=C + 1)[:C]
+    hi = jax.ops.segment_max(vmax, ids, num_segments=C + 1)[:C]
+    ctr = jax.lax.stop_gradient((lo + hi) * 0.5)   # bound center needs no
+    # gradient: the bound only gates work; its cotangent is zero anyway
+    # through the piecewise-constant cull decision
+    cpt = ctr[ids]
+    d2 = jnp.maximum(jnp.maximum(
+        jnp.sum((v0 - cpt) ** 2, -1), jnp.sum((v1 - cpt) ** 2, -1)),
+        jnp.sum((v2 - cpt) ** 2, -1))
+    d2 = jnp.where(valid, d2, -1.0)
+    r2 = jax.ops.segment_max(d2, ids, num_segments=C + 1)[:C]
+    r = jnp.sqrt(jnp.maximum(jax.lax.stop_gradient(r2), 0.0))
+    r = r * jnp.float32(wf._BOUND_PAD) + 1e-4
+    empty = r2 < 0.0
+    return jnp.concatenate(
+        [ctr.T, jnp.where(empty, -1.0, r * r)[None, :]]).astype(
+        jnp.float32)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def render_linear_diff(scene: Scene, camera: Camera, statics,
                        row_offset=0, row_stride=1):
@@ -116,16 +220,29 @@ def render_linear_diff(scene: Scene, camera: Camera, statics,
     return _pallas_forward(scene, camera, statics, row_offset, row_stride)
 
 
+def _statics_cull(statics, pps):
+    cull = statics[9] if len(statics) > 9 else None
+    # cluster culling is only sound under the corrected plane equation
+    # (same rule as the forward engines)
+    return None if pps else cull
+
+
 def _pallas_forward(scene, camera, statics, row_offset, row_stride):
     width, height, spp, depth, seed, pps, interpret = statics[:7]
     shard_rows = statics[8] if len(statics) > 8 else None
+    cull = _statics_cull(statics, pps)
     sph = pack_spheres_jnp(scene)
-    tri = pack_triangles_jnp(scene)
+    tri = pack_triangles_jnp(scene,
+                             perm=None if cull is None else cull.perm)
+    tri_cl = None
+    if cull is not None:
+        tri_cl = (tri_cluster_bounds_jnp(scene, cull),
+                  jnp.asarray(cull.ranges))
     cv = wf.camera_vec(camera)
     mean, _segs = wf.render_linear_pallas(
         sph, tri, cv, width=width, height=height, samples_per_pixel=spp,
         depth=depth, seed=seed, parity_plane_sign=pps, interpret=interpret,
-        shard_rows=shard_rows, row_offset=row_offset,
+        tri_clusters=tri_cl, shard_rows=shard_rows, row_offset=row_offset,
         row_stride=row_stride)
     return mean
 
@@ -168,12 +285,18 @@ def _bwd(statics, residuals, g):
     if bwd_engine == "pallas":
         from .pallas import wavefront_bwd as wb
         import dataclasses
+        cull = _statics_cull(statics, pps)
+        perm = None if cull is None else cull.perm
         sph = pack_spheres_jnp(scene)
-        tri = pack_triangles_jnp(scene)
+        tri = pack_triangles_jnp(scene, perm=perm)
+        tri_cl = None
+        if cull is not None:
+            tri_cl = (tri_cluster_bounds_jnp(scene, cull),
+                      jnp.asarray(cull.ranges))
         dsph, dtri, dcam = wb.render_grad_pallas(
             sph, tri, g, wf.camera_vec(camera), width=width, height=height,
             samples_per_pixel=spp, depth=depth, seed=seed,
-            parity_plane_sign=pps, interpret=interpret,
+            parity_plane_sign=pps, interpret=interpret, tri_clusters=tri_cl,
             shard_rows=shard_rows, row_offset=row_offset,
             row_stride=row_stride)
         M = scene.materials.count
@@ -190,8 +313,10 @@ def _bwd(statics, residuals, g):
                 scene_ct.materials, color=d_color, fuzz=d_fuzz, ir=d_ir))
         # triangle gradients: the kernel returns the cotangent of the
         # PACKED table; vertex + material contributions chain through the
-        # traceable packer's VJP (plane constants, unit normal, albedo)
-        _, tri_vjp = jax.vjp(pack_triangles_jnp, scene)
+        # traceable packer's VJP (plane constants, unit normal, albedo) —
+        # which also un-permutes when cull reordered the columns
+        _, tri_vjp = jax.vjp(
+            lambda s: pack_triangles_jnp(s, perm=perm), scene)
         (tri_ct,) = tri_vjp(dtri)
         scene_ct = dataclasses.replace(
             scene_ct,

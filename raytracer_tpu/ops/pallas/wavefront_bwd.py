@@ -57,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .wavefront import (LANES, T_MIN, BIG, SPH_ROWS, TRI_ROWS, _SEED_MIX,
-                        _pcg3d, _u01,
+                        _pcg3d, _u01, _bound_test,
                         _SPH_CX, _SPH_CY, _SPH_CZ, _SPH_R, _SPH_R2,
                         _SPH_KIND, _SPH_AR, _SPH_AG, _SPH_AB, _SPH_FUZZ,
                         _SPH_IR,
@@ -86,7 +86,8 @@ MAX_BWD_SPHERES = 22_000
 
 
 def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
-                     block_rows, parity_plane_sign, shard_rows=None):
+                     block_rows, parity_plane_sign, shard_rows=None,
+                     n_tri_clusters=0):
     R = block_rows
     ntx = pl.cdiv(width, LANES)
     nty = pl.cdiv(shard_rows if shard_rows is not None else height,
@@ -98,8 +99,8 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
         shard_rows = height
     S = n_spheres
 
-    def kernel(cam_ref, sph_ref, tri_ref, seed_ref, g_ref, grad_ref,
-               dcam_ref, res_ref):
+    def kernel(cam_ref, sph_ref, tri_ref, tric_b_ref, tric_r_ref,
+               seed_ref, g_ref, grad_ref, dcam_ref, res_ref):
         s = pl.program_id(0)
         blk = pl.program_id(1)
         ty = blk // ntx
@@ -264,7 +265,19 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
                 return (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab,
                         fz, irx)
 
-            if n_tris > 0:
+            if n_tris > 0 and n_tri_clusters > 0:
+                def tri_cluster_body(ci, hs):
+                    t_best = hs[0]
+                    possible = _bound_test(tric_b_ref, ci, ox, oy, oz,
+                                           dx, dy, dz, t_best, alive)
+                    any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
+                    s0 = jnp.where(any_p > 0.0, tric_r_ref[0, ci], 0)
+                    s1 = jnp.where(any_p > 0.0, tric_r_ref[1, ci], 0)
+                    return jax.lax.fori_loop(s0, s1, tri_body, hs)
+
+                hs = jax.lax.fori_loop(0, n_tri_clusters,
+                                       tri_cluster_body, hs)
+            elif n_tris > 0:
                 hs = jax.lax.fori_loop(0, n_tris, tri_body, hs)
             (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab, fz,
              irx) = hs
@@ -805,8 +818,8 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
 def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
                        height, samples_per_pixel, depth, seed=0,
                        block_rows=32, parity_plane_sign=True,
-                       interpret=False, shard_rows=None, row_offset=0,
-                       row_stride=1):
+                       interpret=False, tri_clusters=None,
+                       shard_rows=None, row_offset=0, row_stride=1):
     """Backward pass of the fused renderer.
 
     g_image: [rows, W, 3] cotangent of the mean linear radiance (rows =
@@ -833,9 +846,21 @@ def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
     g = g.reshape(3, nty, block_rows, ntx, LANES)
     g = g.transpose(0, 1, 3, 2, 4).reshape(3, rows_total * ntx, LANES)
 
+    if tri_clusters is None:
+        tric_b = jnp.zeros((4, 1), jnp.float32)
+        tric_r = jnp.zeros((2, 1), jnp.int32)
+        n_tri_clusters = 0
+    else:
+        if parity_plane_sign:
+            raise ValueError("tri_clusters culling is unsound with "
+                             "parity_plane_sign=True")
+        tric_b, tric_r = tri_clusters
+        n_tri_clusters = tric_b.shape[1]
+
     kernel = _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
                               block_rows, parity_plane_sign,
-                              shard_rows=shard_rows)
+                              shard_rows=shard_rows,
+                              n_tri_clusters=n_tri_clusters)
 
     seed_arr = jnp.stack([
         jnp.uint32(seed) * _SEED_MIX,
@@ -843,7 +868,7 @@ def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
         jnp.asarray(row_stride, jnp.int32).astype(jnp.uint32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(spp, nblocks),
         in_specs=[
             pl.BlockSpec((3, block_rows, LANES),
@@ -872,37 +897,57 @@ def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
             jax.ShapeDtypeStruct((1, 12), jnp.float32),
         ],
         interpret=interpret,
-    )(cam_vec, sph_table, tri_table, seed_arr, g)
+    )(cam_vec, sph_table, tri_table, tric_b, tric_r, seed_arr, g)
 
-    # ---- per-primitive reduction: scatter-add by winner id ---------------
+    # ---- per-primitive reduction: sort + segmented scan + gather ---------
+    # A plain ``.at[w].add`` scatter is a trap at mesh scale: XLA's TPU
+    # lowering materializes a dense one-hot against the target count
+    # (measured: f32[spp, depth, T, lanes] = 86 GB for the 10k-tri OBJ
+    # config).  Instead: sort lanes by winner id, run a segmented
+    # inclusive scan by doubling (exact tree summation, no cancellation),
+    # and GATHER each primitive's segment total via searchsorted — no
+    # scatter anywhere, ~20 ms at 2M lanes.
     S, T = n_spheres, n_tris
     lanes = slab.reshape(spp * nblocks, depth, GRAD_PLANES,
                          block_rows * LANES)
     lanes = lanes.transpose(2, 0, 1, 3).reshape(GRAD_PLANES, -1)
-    w = lanes[_GP_WIN].astype(jnp.int32)
-    is_sph = (w >= 0) & (w < S)
-    is_tri = w >= S
-    wsph = jnp.where(is_sph, w, S)                       # S = dump row
-    wtri = jnp.where(is_tri, w - S, T)                   # T = dump row
+    w = lanes[_GP_WIN].astype(jnp.int32)      # -1 | sphere [0,S) | S+tri
 
-    sph_g = jnp.stack([lanes[q] for q in
-                       (_GP_C1, _GP_C2, _GP_C3, _GP_R, _GP_AR, _GP_AG,
-                        _GP_AB, _GP_FZ, _GP_IR)], axis=-1)
-    sph_g = jnp.where(is_sph[:, None], sph_g, 0.0)
-    dsph = jnp.zeros((S + 1, 9), jnp.float32).at[wsph].add(sph_g)
-    dsph = dsph[:S].T                                    # (9, S)
+    vals = jnp.stack([lanes[q] for q in
+                      (_GP_C1, _GP_C2, _GP_C3, _GP_R, _GP_AR, _GP_AG,
+                       _GP_AB, _GP_FZ, _GP_IR)], axis=-1)
+    total = _winner_reduce(w, vals, S + T)               # (S+T, 9)
 
+    dsph = total[:S].T                                   # (9, S)
+    acc = total[S:]                                      # (T, 9)
     # EXTRA row cotangent = d_fuzz + d_ir (one of them is zero by kind)
-    extra_g = lanes[_GP_FZ] + lanes[_GP_IR]
-    tri_g = jnp.stack([lanes[_GP_C1], lanes[_GP_C2], lanes[_GP_C3],
-                       lanes[_GP_R], extra_g,
-                       lanes[_GP_AR], lanes[_GP_AG], lanes[_GP_AB]],
-                      axis=-1)
-    tri_g = jnp.where(is_tri[:, None], tri_g, 0.0)
-    acc = jnp.zeros((T + 1, 8), jnp.float32).at[wtri].add(tri_g)
-    acc = acc[:T].T                                      # (8, T)
+    acc = jnp.concatenate([acc[:, 0:4], (acc[:, 7] + acc[:, 8])[:, None],
+                           acc[:, 4:7]], axis=-1).T      # (8, T)
     dtri = jnp.zeros((TRI_ROWS, T), jnp.float32)
     dtri = dtri.at[jnp.asarray([_TRI_NX, _TRI_NY, _TRI_NZ, _TRI_D,
                                 _TRI_EXTRA,
                                 _TRI_AR, _TRI_AG, _TRI_AB])].set(acc)
     return dsph, dtri, dcam[0]
+
+
+def _winner_reduce(w, vals, n_targets):
+    """Sum ``vals`` rows by id ``w`` into (n_targets, K) without any
+    scatter: argsort by id, segmented inclusive scan by doubling (each
+    element accumulates its segment's prefix — exact float tree sums),
+    then per-target gather of the segment's last element."""
+    L = w.shape[0]
+    order = jnp.argsort(w)
+    ws = w[order]
+    vs = vals[order]
+    step = 1
+    while step < L:
+        same = (ws[step:] == ws[:-step])[:, None]
+        vs = jnp.concatenate(
+            [vs[:step], vs[step:] + jnp.where(same, vs[:-step], 0.0)],
+            axis=0)
+        step *= 2
+    tgt = jnp.arange(n_targets, dtype=jnp.int32)
+    pos = jnp.searchsorted(ws, tgt, side="right") - 1
+    pos_c = jnp.clip(pos, 0, L - 1)
+    hit = (pos >= 0) & (ws[pos_c] == tgt)
+    return jnp.where(hit[:, None], vs[pos_c], 0.0)

@@ -316,7 +316,8 @@ def render_linear_diff_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
                                seed: int = 0,
                                parity_plane_sign: bool = True,
                                interpret: bool = False,
-                               bwd_engine: str = "pallas"):
+                               bwd_engine: str = "pallas",
+                               tri_cull=None):
     """Differentiable sharded render at kernel speed (forward + backward).
 
     Returns the mean linear radiance [H, W, 3]; differentiable w.r.t.
@@ -327,7 +328,8 @@ def render_linear_diff_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
     n = mesh.shape[RAYS_AXIS]
     rows_per = pad_to_multiple(height, n) // n
     statics = (width, height, samples_per_pixel, depth, seed,
-               parity_plane_sign, interpret, bwd_engine, rows_per)
+               parity_plane_sign, interpret, bwd_engine, rows_per,
+               tri_cull)
     mean = _sharded_diff_fn(mesh, statics)(scene, camera)
     # deinterleave: gathered row i*rows_per + k holds global row k*n + i
     mean = mean.reshape(n, rows_per, width, 3).transpose(1, 0, 2, 3)

@@ -337,6 +337,56 @@ class TestBackwardKernel:
             scale = max(np.abs(a).max(), 1e-8)
             assert np.abs(a - b).max() <= 5e-3 * scale + 1e-7, k
 
+    def test_clustered_kernel_grads_match_xla_ad(self):
+        # VERDICT r3 item 3: the differentiable kernel path must cull —
+        # static cluster topology with bounds recomputed traceably from
+        # the live vertices.  Gradients must match XLA AD and the
+        # unclustered kernel on a mesh scene big enough to trigger
+        # clustering (>= 64 triangles).
+        scene, cam = rt.models.mesh_scene(subdivisions=2)
+        assert scene.exact_planes
+        from raytracer_tpu.ops import diff as diff_mod
+        cull = diff_mod.build_tri_cull(scene)
+        assert cull is not None and cull.ranges.shape[1] > 1
+        W, H = 24, 16
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=3, seed=5,
+                                     parity_plane_sign=False)
+        params = gradmod.extract_params(scene, ["tri_v0", "mat_color"])
+        params["tri_v0"] = params["tri_v0"] + 0.004
+        loss_x = gradmod.make_loss_fn(scene, cam, target, width=W,
+                                      height=H, samples_per_pixel=2,
+                                      depth=3, seed=5,
+                                      parity_plane_sign=False)
+        loss_k = gradmod.make_loss_fn(scene, cam, target, width=W,
+                                      height=H, samples_per_pixel=2,
+                                      depth=3, seed=5,
+                                      parity_plane_sign=False,
+                                      engine="pallas", interpret=True)
+        v1, g1 = jax.value_and_grad(loss_x)(params)
+        v2, g2 = jax.jit(jax.value_and_grad(loss_k))(params)
+        assert abs(float(v1) - float(v2)) < 1e-5
+        for k in params:
+            a, b = np.asarray(g1[k]), np.asarray(g2[k])
+            scale = max(np.abs(a).max(), 1e-8)
+            assert np.abs(a - b).max() <= 5e-3 * scale + 1e-7, k
+
+    def test_cull_bounds_follow_moved_vertices(self):
+        # the cull topology is static but the bounds are traceable: moving
+        # a vertex far away must inflate its leaf bound (stay sound)
+        scene, _ = rt.models.mesh_scene(subdivisions=2)
+        from raytracer_tpu.ops import diff as diff_mod
+        import dataclasses
+        cull = diff_mod.build_tri_cull(scene)
+        b0 = np.asarray(diff_mod.tri_cluster_bounds_jnp(scene, cull))
+        moved = dataclasses.replace(
+            scene, tri_v0=scene.tri_v0.at[0].add(
+                jnp.asarray([10.0, 0.0, 0.0])))
+        b1 = np.asarray(diff_mod.tri_cluster_bounds_jnp(moved, cull))
+        leaf = int(cull.leaf_ids[np.nonzero(
+            np.asarray(cull.perm) == 0)[0][0]])
+        assert b1[3, leaf] > b0[3, leaf] + 1.0   # r^2 grew to cover it
+
     def test_obj_scene_runs_kernel_backward(self):
         # VERDICT r2 item 2 "done" bar: inverse rendering of the OBJ scene
         # runs the kernel backward (10k tris — over the old gates)
