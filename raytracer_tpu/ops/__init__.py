@@ -48,6 +48,11 @@ CLUSTER_MIN_TRIS = 64
 # see PERFSTUDY.json "sorted" study)
 SORTED_MIN_TRIS = 2048
 
+# the binned engine overtakes the fused SMEM megakernel earlier than the
+# sorted one (no scatter/sort glue, AABB culling): measured crossover on
+# the 1292-tri procedural mesh (46.5 vs 43.0 Mrays/s)
+BINNED_MIN_TRIS = 1024
+
 
 def backend_is_tpu() -> bool:
     try:
@@ -275,6 +280,10 @@ def resolve_dispatch(scene: Scene, parity_plane_sign, engine: str = "auto",
                 and sorted_smem_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES):
             engine = ("pallas_binned" if binned_spp_ok(samples_per_pixel)
                       else "pallas_sorted")
+        elif (tpu and not parity_plane_sign and n_tris >= BINNED_MIN_TRIS
+              and binned_spp_ok(samples_per_pixel)
+              and sorted_smem_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES):
+            engine = "pallas_binned"
         elif tpu and pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES:
             engine = "pallas"
         elif (tpu and not parity_plane_sign

@@ -166,9 +166,9 @@ def build_tri_cull(scene: Scene, leaf_target: int = 64):
 
 
 def tri_cluster_bounds_jnp(scene: Scene, cull: TriCull) -> jax.Array:
-    """Traceable (4, C) bounding spheres [cx, cy, cz, r^2] of the cull
-    leaves, recomputed from the LIVE vertices (segment reductions over the
-    static leaf ids).  Empty leaves get r^2 = -1 (never visited)."""
+    """Traceable (6, C) leaf AABBs [lo.xyz; hi.xyz], recomputed from the
+    LIVE vertices (segment reductions over the static leaf ids).  Empty
+    leaves get lo > hi (every slab test misses)."""
     C = cull.ranges.shape[1]
     ids = jnp.asarray(cull.leaf_ids)
     perm = jnp.asarray(cull.perm)
@@ -183,21 +183,15 @@ def tri_cluster_bounds_jnp(scene: Scene, cull: TriCull) -> jax.Array:
     vmax = jnp.where(valid[:, None], vmax, -big)
     lo = jax.ops.segment_min(vmin, ids, num_segments=C + 1)[:C]
     hi = jax.ops.segment_max(vmax, ids, num_segments=C + 1)[:C]
-    ctr = jax.lax.stop_gradient((lo + hi) * 0.5)   # bound center needs no
-    # gradient: the bound only gates work; its cotangent is zero anyway
-    # through the piecewise-constant cull decision
-    cpt = ctr[ids]
-    d2 = jnp.maximum(jnp.maximum(
-        jnp.sum((v0 - cpt) ** 2, -1), jnp.sum((v1 - cpt) ** 2, -1)),
-        jnp.sum((v2 - cpt) ** 2, -1))
-    d2 = jnp.where(valid, d2, -1.0)
-    r2 = jax.ops.segment_max(d2, ids, num_segments=C + 1)[:C]
-    r = jnp.sqrt(jnp.maximum(jax.lax.stop_gradient(r2), 0.0))
-    r = r * jnp.float32(wf._BOUND_PAD) + 1e-4
-    empty = r2 < 0.0
-    return jnp.concatenate(
-        [ctr.T, jnp.where(empty, -1.0, r * r)[None, :]]).astype(
-        jnp.float32)
+    # the bounds only gate work (piecewise-constant decision): their
+    # cotangent is zero, so stop the gradient explicitly
+    lo = jax.lax.stop_gradient(lo)
+    hi = jax.lax.stop_gradient(hi)
+    pad = 1e-4 + 1e-5 * jnp.maximum(jnp.abs(lo), jnp.abs(hi))
+    empty = lo[:, 0] > hi[:, 0]
+    lo_p = jnp.where(empty[:, None], 1.0, lo - pad)
+    hi_p = jnp.where(empty[:, None], -1.0, hi + pad)
+    return jnp.concatenate([lo_p.T, hi_p.T]).astype(jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -203,6 +203,46 @@ def _median_split_order(points: np.ndarray, leaf_target: int):
 _BOUND_PAD = 1.0 + 1e-4  # conservative f32 padding on cluster bound radii
 
 
+def _safe_inv_dir(dx, dy, dz):
+    """Per-lane 1/d with tiny components clamped (slab test stays finite
+    and conservative: an axis-parallel ray outside a slab gets a huge
+    positive tnear and misses; inside, the +/-huge pair brackets it)."""
+    tiny = jnp.float32(1e-20)
+
+    def inv(v):
+        mag = jnp.maximum(jnp.abs(v), tiny)
+        return jnp.where(v >= 0.0, 1.0 / mag, -1.0 / mag)
+
+    return inv(dx), inv(dy), inv(dz)
+
+
+def _aabb_test(ab_ref, ci, ox, oy, oz, idx, idy, idz, t_best, alive):
+    """Conservative ray x AABB slab overlap: could any live lane hit
+    something inside box ``ci`` closer than its t_best?  Columns of
+    ``ab_ref`` are [lox, loy, loz, hix, hiy, hiz]; empty nodes carry
+    lo > hi and always miss.  Much tighter than a bounding sphere on the
+    flat layouts culling actually meets (balls scattered on a ground
+    plane, surface patches of a mesh)."""
+    tx0 = (ab_ref[0, ci] - ox) * idx
+    tx1 = (ab_ref[3, ci] - ox) * idx
+    ty0 = (ab_ref[1, ci] - oy) * idy
+    ty1 = (ab_ref[4, ci] - oy) * idy
+    tz0 = (ab_ref[2, ci] - oz) * idz
+    tz1 = (ab_ref[5, ci] - oz) * idz
+    tnear = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), 0.0))
+    tfar = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                   jnp.maximum(ty0, ty1)),
+                       jnp.maximum(tz0, tz1))
+    return (tnear <= tfar) & (tfar > T_MIN) & (tnear <= t_best) & alive
+
+
+def _aabb_pad_np(lo: np.ndarray, hi: np.ndarray):
+    pad = 1e-4 + 1e-5 * np.maximum(np.abs(lo), np.abs(hi))
+    return ((lo - pad).astype(np.float32), (hi + pad).astype(np.float32))
+
+
 def cluster_spheres(scene: Scene, leaf_target: int = 48):
     """Cluster the valid spheres for block-level culling.
 
@@ -220,19 +260,18 @@ def cluster_spheres(scene: Scene, leaf_target: int = 48):
     perm = np.concatenate([vidx[perm_v], np.nonzero(~valid)[0]]).astype(
         np.int64)
     C = max(len(slices), 1)
-    bounds = np.zeros((4, C), np.float32)
+    bounds = np.zeros((6, C), np.float32)
+    bounds[0:3] = 1.0
+    bounds[3:6] = -1.0
     ranges = np.zeros((2, C), np.int32)
     for k, (s, e) in enumerate(slices or [(0, 0)]):
         mem = perm[s:e]
         if len(mem) == 0:
-            bounds[3, k] = -1.0
             continue
-        cm, rm = c[mem], r[mem]
-        bc = (cm.min(axis=0) + cm.max(axis=0)) * 0.5
-        br = float(np.max(np.linalg.norm(cm - bc, axis=-1) + np.abs(rm)))
-        br = br * _BOUND_PAD + 1e-4
-        bounds[0:3, k] = bc
-        bounds[3, k] = br * br
+        cm, rm = c[mem], np.abs(r[mem])[:, None]
+        lo = (cm - rm).min(axis=0)
+        hi = (cm + rm).max(axis=0)
+        bounds[0:3, k], bounds[3:6, k] = _aabb_pad_np(lo, hi)
         ranges[0, k], ranges[1, k] = s, e
     return perm, bounds, ranges
 
@@ -250,19 +289,17 @@ def cluster_triangles(scene: Scene, leaf_target: int = 64):
     perm = np.concatenate([vidx[perm_v], np.nonzero(~valid)[0]]).astype(
         np.int64)
     C = max(len(slices), 1)
-    bounds = np.zeros((4, C), np.float32)
+    bounds = np.zeros((6, C), np.float32)
+    bounds[0:3] = 1.0
+    bounds[3:6] = -1.0
     ranges = np.zeros((2, C), np.int32)
     for k, (s, e) in enumerate(slices or [(0, 0)]):
         mem = perm[s:e]
         if len(mem) == 0:
-            bounds[3, k] = -1.0
             continue
         verts = np.concatenate([v0[mem], v1[mem], v2[mem]], axis=0)
-        bc = (verts.min(axis=0) + verts.max(axis=0)) * 0.5
-        br = float(np.max(np.linalg.norm(verts - bc, axis=-1)))
-        br = br * _BOUND_PAD + 1e-4
-        bounds[0:3, k] = bc
-        bounds[3, k] = br * br
+        bounds[0:3, k], bounds[3:6, k] = _aabb_pad_np(
+            verts.min(axis=0), verts.max(axis=0))
         ranges[0, k], ranges[1, k] = s, e
     return perm, bounds, ranges
 
@@ -274,7 +311,7 @@ def cluster_triangles(scene: Scene, leaf_target: int = 64):
 # ---------------------------------------------------------------------------
 
 def _sphere_loop(sph_ref, sphc_b_ref, sphc_r_ref, n_spheres, n_sph_clusters,
-                 ox, oy, oz, dx, dy, dz, alive, hs0):
+                 ox, oy, oz, dx, dy, dz, alive, hs0, inv_d=None):
     """Closest-hit over SMEM-resident spheres (common.rs:60-98), optionally
     with cluster culling.  hs0 = (t_best, nx, ny, nz, kind, ar, ag, ab, fz,
     irx); nx/ny/nz carry the WINNING CENTER until _sphere_normals."""
@@ -314,14 +351,17 @@ def _sphere_loop(sph_ref, sphc_b_ref, sphc_r_ref, n_spheres, n_sph_clusters,
         return (t_best, nx, ny, nz, kind, ar, ag, ab, fz, irx)
 
     if n_sph_clusters > 0:
-        # block-level culling: one bounding-sphere test over the
-        # whole wavefront per cluster; when no live lane can beat
-        # its current closest hit, the member loop runs with a
-        # zero trip count (traced bounds, no cond needed)
+        # block-level culling: one AABB slab test over the whole
+        # wavefront per cluster; when no live lane can beat its current
+        # closest hit, the member loop runs with a zero trip count
+        # (traced bounds, no cond needed)
+        ivx, ivy, ivz = (inv_d if inv_d is not None
+                         else _safe_inv_dir(dx, dy, dz))
+
         def sph_cluster_body(ci, hs):
             t_best = hs[0]
-            possible = _bound_test(sphc_b_ref, ci, ox, oy, oz, dx, dy, dz,
-                                   t_best, alive)
+            possible = _aabb_test(sphc_b_ref, ci, ox, oy, oz, ivx, ivy,
+                                  ivz, t_best, alive)
             any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
             s0 = jnp.where(any_p > 0.0, sphc_r_ref[0, ci], 0)
             s1 = jnp.where(any_p > 0.0, sphc_r_ref[1, ci], 0)
@@ -753,10 +793,12 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                         lambda row, ti: tri_ref[row, ti], parity_plane_sign,
                         ox, oy, oz, dx, dy, dz)
                     if n_tri_clusters > 0:
+                        ivx, ivy, ivz = _safe_inv_dir(dx, dy, dz)
+
                         def tri_cluster_body(ci, hs):
                             t_best = hs[0]
-                            possible = _bound_test(
-                                tric_b_ref, ci, ox, oy, oz, dx, dy, dz,
+                            possible = _aabb_test(
+                                tric_b_ref, ci, ox, oy, oz, ivx, ivy, ivz,
                                 t_best, alive)
                             any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
                             s0 = jnp.where(any_p > 0.0, tric_r_ref[0, ci], 0)
@@ -852,14 +894,14 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
     n_tris = tri_table.shape[1]
 
     if sph_clusters is None:
-        sphc_b = jnp.zeros((4, 1), jnp.float32)
+        sphc_b = jnp.zeros((6, 1), jnp.float32)
         sphc_r = jnp.zeros((2, 1), jnp.int32)
         n_sph_clusters = 0
     else:
         sphc_b, sphc_r = sph_clusters
         n_sph_clusters = sphc_b.shape[1]
     if tri_clusters is None:
-        tric_b = jnp.zeros((4, 1), jnp.float32)
+        tric_b = jnp.zeros((6, 1), jnp.float32)
         tric_r = jnp.zeros((2, 1), jnp.int32)
         n_tri_clusters = 0
     else:

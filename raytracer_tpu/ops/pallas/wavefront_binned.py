@@ -582,7 +582,7 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
     n_spheres = sph.shape[1]
     n_sph_clusters = 0 if sphc_b is None else sphc_b.shape[1]
     if sphc_b is None:
-        sphc_b = jnp.zeros((4, 1), jnp.float32)
+        sphc_b = jnp.zeros((6, 1), jnp.float32)
         sphc_r = jnp.zeros((2, 1), jnp.int32)
     n_tops = topb.shape[1]
     if norder is None:

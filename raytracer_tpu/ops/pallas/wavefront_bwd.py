@@ -57,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .wavefront import (LANES, T_MIN, BIG, SPH_ROWS, TRI_ROWS, _SEED_MIX,
-                        _pcg3d, _u01, _bound_test,
+                        _pcg3d, _u01, _aabb_test, _safe_inv_dir,
                         _SPH_CX, _SPH_CY, _SPH_CZ, _SPH_R, _SPH_R2,
                         _SPH_KIND, _SPH_AR, _SPH_AG, _SPH_AB, _SPH_FUZZ,
                         _SPH_IR,
@@ -266,10 +266,12 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
                         fz, irx)
 
             if n_tris > 0 and n_tri_clusters > 0:
+                ivx, ivy, ivz = _safe_inv_dir(dx, dy, dz)
+
                 def tri_cluster_body(ci, hs):
                     t_best = hs[0]
-                    possible = _bound_test(tric_b_ref, ci, ox, oy, oz,
-                                           dx, dy, dz, t_best, alive)
+                    possible = _aabb_test(tric_b_ref, ci, ox, oy, oz,
+                                          ivx, ivy, ivz, t_best, alive)
                     any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
                     s0 = jnp.where(any_p > 0.0, tric_r_ref[0, ci], 0)
                     s1 = jnp.where(any_p > 0.0, tric_r_ref[1, ci], 0)
@@ -847,7 +849,7 @@ def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
     g = g.transpose(0, 1, 3, 2, 4).reshape(3, rows_total * ntx, LANES)
 
     if tri_clusters is None:
-        tric_b = jnp.zeros((4, 1), jnp.float32)
+        tric_b = jnp.zeros((6, 1), jnp.float32)
         tric_r = jnp.zeros((2, 1), jnp.int32)
         n_tri_clusters = 0
     else:

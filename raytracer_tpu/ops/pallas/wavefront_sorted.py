@@ -640,7 +640,7 @@ def _bounce_call(state3, ids3, b, tables, *, block_rows, use_exit,
     n_spheres = sph.shape[1]
     n_sph_clusters = 0 if sphc_b is None else sphc_b.shape[1]
     if sphc_b is None:
-        sphc_b = jnp.zeros((4, 1), jnp.float32)
+        sphc_b = jnp.zeros((6, 1), jnp.float32)
         sphc_r = jnp.zeros((2, 1), jnp.int32)
     n_tops = topb.shape[1]
     node_exit = node_exit and norder is not None

@@ -365,7 +365,7 @@ def render_linear_pallas_stream(sph_table, tri_hbm, leaf_bounds, leaf_counts,
         top_keys = jnp.full((1, n_tops), -jnp.inf, jnp.float32)
 
     if sph_clusters is None:
-        sphc_b = jnp.zeros((4, 1), jnp.float32)
+        sphc_b = jnp.zeros((6, 1), jnp.float32)
         sphc_r = jnp.zeros((2, 1), jnp.int32)
         n_sph_clusters = 0
     else:
