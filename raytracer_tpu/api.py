@@ -37,7 +37,7 @@ class WorldHandle:
     """
     scene: Scene
     camera: Camera
-    parsed: ParsedWorld
+    parsed: Optional[ParsedWorld] = None
 
 
 def load_world(source: str | bytes) -> WorldHandle:
@@ -92,11 +92,12 @@ class RenderSession:
     progressive refinement.  A move resets the accumulator.
     """
 
-    def __init__(self, source: str, width: int, height: int,
+    def __init__(self, source: Optional[str], width: int, height: int,
                  options: Options | None = None, *,
                  progressive: bool = False,
-                 max_samples: Optional[int] = None):
-        self.handle = load_world(source)
+                 max_samples: Optional[int] = None,
+                 handle: Optional[WorldHandle] = None):
+        self.handle = handle if handle is not None else load_world(source)
         self.width = width
         self.height = height
         self.options = options or FFI_DEFAULT_OPTIONS
@@ -107,6 +108,31 @@ class RenderSession:
         self._frame: Optional[np.ndarray] = None
         self._accum: Optional[np.ndarray] = None
         self._accum_spp = 0
+
+    @classmethod
+    def from_world(cls, scene, camera, width: int, height: int,
+                   options: Options | None = None, *,
+                   progressive: bool = False,
+                   max_samples: Optional[int] = None) -> "RenderSession":
+        """Interactive session over a prebuilt scene (OBJ meshes,
+        procedural geometry) instead of DSL source — the browser viewer's
+        path onto the auto-dispatched big-mesh engines."""
+        return cls(None, width, height, options, progressive=progressive,
+                   max_samples=max_samples,
+                   handle=WorldHandle(scene=scene, camera=camera,
+                                      parsed=None))
+
+    def resolved_engine(self, tpu: bool | None = None) -> str:
+        """The engine auto-dispatch picks for this session's renders
+        (ops.resolve_dispatch over the live scene + per-batch spp) —
+        surfaced so frontends/tests can confirm an OBJ-scale scene rides
+        the binned per-bounce engine rather than silently falling back."""
+        from . import ops as ops_mod
+        engine, _, _ = ops_mod.resolve_dispatch(
+            self.handle.scene, self.options.parity_plane_sign,
+            self.options.engine, tpu=tpu,
+            samples_per_pixel=self.options.samples_per_pixel)
+        return engine
 
     @property
     def samples_accumulated(self) -> int:

@@ -147,13 +147,15 @@ def make_server(session: RenderSession, port: int = 8000) -> HTTPServer:
 
 def serve(source: str | None = None, *, width: int = 400, port: int = 8000,
           samples: int = 16, ray_depth: int = 8,
-          progressive: bool = True) -> None:
-    src = source if source is not None else default_world_source()
-    aspect = 1.77778
-    session = RenderSession(
-        src, width, int(width / aspect),
-        Options(samples_per_pixel=samples, max_ray_bounces=ray_depth),
-        progressive=progressive)
+          progressive: bool = True,
+          session: RenderSession | None = None) -> None:
+    if session is None:
+        src = source if source is not None else default_world_source()
+        aspect = 1.77778
+        session = RenderSession(
+            src, width, int(width / aspect),
+            Options(samples_per_pixel=samples, max_ray_bounces=ray_depth),
+            progressive=progressive)
     httpd = make_server(session, port)
     print(f"viewer on http://localhost:{port}/  (ctrl-c to stop)")
     try:

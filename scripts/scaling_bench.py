@@ -185,6 +185,90 @@ def cpu_mode():
     }]
 
 
+def validate_mode():
+    """Model-vs-measured anchor (VERDICT r3 item 7): the multi-chip model
+    assumes band times are ADDITIVE (T_full ~= sum of per-band kernel
+    times, no hidden superlinear cost), so measure exactly that on the one
+    real chip: render the full frame, then render each of n interleaved
+    bands, and report sum(band)/full.  A ratio near 1 anchors the
+    extrapolation; the excess over 1 is the per-launch fixed cost the
+    headline config's Amdahl analysis already charges."""
+    import jax
+    import raytracer_tpu as rt
+    from raytracer_tpu import ops as ops_mod
+    from raytracer_tpu.ops.pallas import wavefront as wf
+    from raytracer_tpu.parallel.mesh import pad_to_multiple
+
+    world = rt.models.default_world()
+    scene, cam = world.to_scene(), world.to_camera()
+    sph, tri, sph_cl, tri_cl = ops_mod.scene_tables(scene, True)
+    cv = wf.camera_vec(cam)
+    w, h, spp = 512, 512, 64
+
+    def render_band(rows, row0, stride, seed):
+        return wf.render_linear_pallas(
+            sph, tri, cv, width=w, height=h, samples_per_pixel=spp,
+            depth=D, seed=seed, parity_plane_sign=True,
+            sph_clusters=sph_cl, tri_clusters=tri_cl,
+            shard_rows=rows, row_offset=row0, row_stride=stride)
+
+    t_full, _ = _best(lambda s: render_band(h, 0, 1, s))
+    rows = []
+    for n in (2, 4, 8):
+        rows_per = pad_to_multiple(h, n) // n
+        band_ts = []
+        for i in range(n):
+            dt, _ = _best(lambda sd, i=i: render_band(rows_per, i, n, sd))
+            band_ts.append(dt)
+        rows.append({
+            "metric": f"band_additivity_{n}",
+            "bands": n,
+            "t_full_s": t_full,
+            "sum_band_s": sum(band_ts),
+            "additivity_ratio": sum(band_ts) / t_full,
+        })
+    return rows
+
+
+def cpu_sanity_mode():
+    """Virtual-8-device CPU wall-clock ratio — a SANITY row only: the
+    container has ~2 host cores serving 8 virtual devices, so the ratio
+    reflects oversubscription, not ICI scaling; it anchors that the
+    sharded program actually executes and divides work on a multi-device
+    mesh."""
+    import jax
+    import raytracer_tpu as rt
+    from raytracer_tpu import parallel
+
+    world = rt.models.default_world()
+    scene, cam = world.to_scene(), world.to_camera()
+    w, h, spp, d = 96, 64, 2, 4
+
+    def single(seed):
+        return rt.render_linear(scene, cam, width=w, height=h,
+                                samples_per_pixel=spp, depth=d, seed=seed)
+
+    mesh = parallel.make_mesh(8)
+
+    def sharded(seed):
+        return parallel.render_linear_sharded(
+            scene, cam, mesh=mesh, width=w, height=h,
+            samples_per_pixel=spp, depth=d, seed=seed)
+
+    t1, _ = _best(single, n=2, pipeline=8)
+    t8, _ = _best(sharded, n=2, pipeline=8)
+    return {
+        "metric": "cpu_vdev8_wallclock_sanity",
+        "label": "sanity_only_oversubscribed_host",
+        "t_single_s": t1,
+        "t_sharded8_s": t8,
+        "wallclock_ratio": t1 / t8,
+        "note": ("8 virtual devices on ~2 host cores: validates the "
+                 "sharded program runs and divides work, NOT an "
+                 "efficiency measurement"),
+    }
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "band"
     if mode == "cpu":
@@ -193,6 +277,18 @@ def main() -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
         out = cpu_mode()
+    elif mode == "cpusanity":
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        row = cpu_sanity_mode()
+        doc = json.loads((REPO / "SCALING.json").read_text())
+        doc.setdefault("model_validation", {})["cpu_sanity"] = row
+        (REPO / "SCALING.json").write_text(json.dumps(doc, indent=1) + "\n")
+        print(f"appended cpu sanity to {REPO / 'SCALING.json'}",
+              file=sys.stderr)
+        out = [row]
     elif mode == "band":
         out = band_mode()
     elif mode == "write":
@@ -214,6 +310,16 @@ def main() -> int:
                         "async dispatches (a pjit step is dispatched once "
                         "for all chips).  cpu-mode sharding validation "
                         "lives in tests/test_scaling.py")}
+        doc["model_validation"] = {
+            "band_additivity": validate_mode(),
+            "note": ("additivity_ratio = sum of per-band kernel times / "
+                     "full-frame time on ONE real chip: the multi-chip "
+                     "rows above model an n-chip step as max(band_i); a "
+                     "ratio near 1 validates that bands account for the "
+                     "whole frame (no hidden superlinear cost).  Run "
+                     "'cpusanity' mode to append the virtual-mesh "
+                     "wall-clock sanity row."),
+        }
         (REPO / "SCALING.json").write_text(json.dumps(doc, indent=1) + "\n")
         print(f"wrote {REPO / 'SCALING.json'}", file=sys.stderr)
     else:

@@ -121,3 +121,47 @@ class TestProgressiveAccumulation:
         assert prog.samples_accumulated == 2
         prog.frame()
         assert prog.samples_accumulated == 4
+
+
+class TestMeshSceneViewer:
+    """VERDICT r3 item 8: an OBJ-scale mesh scene in the interactive
+    viewer must ride the auto-dispatched binned engine (not silently fall
+    back), with progressive refinement over a live socket."""
+
+    def test_mesh_session_resolves_binned_and_refines(self):
+        import raytracer_tpu as rt
+        from raytracer_tpu.models.builders import icosphere_mesh
+        from raytracer_tpu.scene import DIFFUSE, METAL, build_materials, \
+            build_scene
+        tris = icosphere_mesh((0.0, 0.0, -1.2), 0.5, 0, 4)   # 5120 tris
+        mats = build_materials([(DIFFUSE, (0.7, 0.3, 0.3), 0.0, 1.0),
+                                (METAL, (0.8, 0.8, 0.8), 0.1, 1.0)])
+        scene = build_scene([((0.0, -100.5, -1.0), 100.0, 1)], tris, mats,
+                            exact_planes=True)
+        cam = rt.Camera.new_at((0.0, 0.0, 0.0), 1.77778)
+        assert scene.num_triangles >= 2048
+        session = RenderSession.from_world(
+            scene, cam, 32, 18,
+            Options(samples_per_pixel=1, max_ray_bounces=2),
+            progressive=True, max_samples=3)
+        # on a TPU backend auto-dispatch picks the binned per-bounce
+        # engine for this scene + spp; spp that the engine cannot tile
+        # falls back to sorted
+        assert session.resolved_engine(tpu=True) == "pallas_binned"
+        assert session.resolved_engine(tpu=False) == "xla"
+
+        httpd = httpviewer.make_server(session, port=0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            _, h1, b1 = _get(base + "/frame.png")
+            _, h2, b2 = _get(base + "/frame.png")
+            assert [h["X-Samples"] for h in (h1, h2)] == ["1", "2"]
+            assert b2 != b1          # frames actually refine
+            _post(base + "/move", {"dx": 0.05, "dy": 0.0, "dz": 0.0})
+            _, h3, _ = _get(base + "/frame.png")
+            assert h3["X-Samples"] == "1"
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
