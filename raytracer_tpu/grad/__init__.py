@@ -10,12 +10,15 @@ from .params import apply_params, extract_params, PARAM_FIELDS
 from .inverse import (image_loss, make_loss_fn, make_train_step,
                       make_silhouette_train_step, fit, FitResult)
 from .finite_diff import finite_diff_grad
-from .silhouette import silhouette_grad, value_and_grad_with_silhouette
+from .silhouette import (mirror_silhouette_grad, silhouette_grad,
+                         triangle_silhouette_grad,
+                         value_and_grad_with_silhouette)
 
 __all__ = [
     "apply_params", "extract_params", "PARAM_FIELDS",
     "image_loss", "make_loss_fn", "make_train_step",
     "make_silhouette_train_step", "fit", "FitResult",
     "finite_diff_grad",
-    "silhouette_grad", "value_and_grad_with_silhouette",
+    "silhouette_grad", "mirror_silhouette_grad",
+    "triangle_silhouette_grad", "value_and_grad_with_silhouette",
 ]

@@ -117,18 +117,21 @@ def make_silhouette_train_step(scene: Scene, camera: Camera, target,
                                samples_per_pixel: int, depth: int,
                                parity_plane_sign: bool = True,
                                seed: int = 0, n_edge: int = 512,
-                               samples_per_edge: int = 16):
+                               samples_per_edge: int = 16,
+                               max_edges: int | None = None):
     """Train step whose gradients include the visibility-boundary terms
     (grad/silhouette.py) — optimization can move a silhouette across the
     image instead of stalling where interior gradients vanish."""
-    from .silhouette import value_and_grad_with_silhouette
+    from .silhouette import MAX_EDGE_SAMPLES, value_and_grad_with_silhouette
+    me = MAX_EDGE_SAMPLES if max_edges is None else max_edges
 
     def step(params, opt_state):
         loss, grads = value_and_grad_with_silhouette(
             scene, camera, target, params, width=width, height=height,
             samples_per_pixel=samples_per_pixel, depth=depth,
             parity_plane_sign=parity_plane_sign, seed=seed,
-            n_edge=n_edge, samples_per_edge=samples_per_edge)
+            n_edge=n_edge, samples_per_edge=samples_per_edge,
+            max_edges=me)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
