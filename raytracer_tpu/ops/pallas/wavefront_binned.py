@@ -755,10 +755,25 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     # at the finest granularity used restores the exact bounce-0 order
     if depth > 1:
         fin_gran = 1 if ray_regroup_bounces > 0 else regroup_granularity
-        state = _regroup(state, state[_ST_SLOT].astype(jnp.int32),
-                         fin_gran)
-    rgb = jnp.stack([state[_ST_RR], state[_ST_RG], state[_ST_RB]],
-                    axis=-1)                       # (rows, LANES, 3)
+        if fin_gran == 1:
+            # only the radiance leaves the pipeline: one int argsort +
+            # one (N, 3) gather instead of the 16-plane state gather
+            # (measured ~4 ms cheaper at 1M rays; a FLOAT argsort here
+            # costs ~40 ms — keep the int cast)
+            order = jnp.argsort(
+                state[_ST_SLOT].reshape(-1).astype(jnp.int32))
+            rgb = jnp.stack([state[_ST_RR].reshape(-1),
+                             state[_ST_RG].reshape(-1),
+                             state[_ST_RB].reshape(-1)],
+                            axis=-1)[order].reshape(rows_total, LANES, 3)
+        else:
+            state = _regroup(state, state[_ST_SLOT].astype(jnp.int32),
+                             fin_gran)
+            rgb = jnp.stack([state[_ST_RR], state[_ST_RG],
+                             state[_ST_RB]], axis=-1)
+    else:
+        rgb = jnp.stack([state[_ST_RR], state[_ST_RG], state[_ST_RB]],
+                        axis=-1)                   # (rows, LANES, 3)
     ppr = LANES // spp                             # pixels per row
     tiles = rgb.reshape(nty, ntx, block_rows, ppr, spp, 3).sum(axis=4)
     tiles = tiles.reshape(nty, ntx, th, tw, 3)
