@@ -190,6 +190,10 @@ def bench_all():
         "metric": f"grad_pass_obj10240tri_paths_per_sec_{W}x{H}_{gspp}spp",
         "value": paths / dt, "unit": "paths/s",
         "vs_baseline": paths / dt / 1e6})
+
+    # certify every capped binned frame rendered above was exact
+    assert ops_mod.flush_binned_overflow_checks() == 0, \
+        "binned bounce-cap overflow: rerun (caps auto-invalidate)"
     return results
 
 

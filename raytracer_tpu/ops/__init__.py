@@ -303,6 +303,36 @@ def resolve_dispatch(scene: Scene, parity_plane_sign, engine: str = "auto",
     return engine, parity_plane_sign, warning
 
 
+# autotuned per-bounce working-set caps for the binned engine, keyed on
+# (scene identity, render shape); see the pallas_binned branch below
+_BINNED_CAPS: dict = {}
+# overflow guards of capped frames this process has produced; checked
+# lazily (device arrays — forcing them per frame would serialize the
+# async dispatch pipeline).  ``flush_binned_overflow_checks`` is the
+# test/bench hook certifying that every capped frame was exact.
+_BINNED_OVERFLOW: list = []
+_OVERFLOW_LAZY = 8
+
+
+def _check_binned_overflow(overflow) -> bool:
+    """True if the capped frame is certified exact.  Checks the OLDEST
+    pending overflow guard once enough frames queue up (keeps the
+    async pipeline deep), plus the current one when the queue is small
+    (interactive use)."""
+    if len(_BINNED_OVERFLOW) < _OVERFLOW_LAZY:
+        return bool(float(overflow) == 0.0)
+    oldest = _BINNED_OVERFLOW.pop(0)
+    return bool(float(oldest) == 0.0)
+
+
+def flush_binned_overflow_checks() -> int:
+    """Force every pending capped-frame overflow guard; returns how many
+    frames had overflowing rays (0 certifies all capped output exact)."""
+    bad = sum(1 for o in _BINNED_OVERFLOW if float(o) != 0.0)
+    _BINNED_OVERFLOW.clear()
+    return bad
+
+
 def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
                        height: int, samples_per_pixel: int, depth: int,
                        seed: int = 0, parity_plane_sign: bool | None = None,
@@ -360,11 +390,43 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
         cv = wf.camera_vec(camera)
         order, keys = sorted_top_order(np.asarray(sorted_t[4]),
                                        np.asarray(camera.origin))
+        common = dict(width=width, height=height,
+                      samples_per_pixel=samples_per_pixel, depth=depth,
+                      sph_clusters=sph_cl,
+                      ray_regroup_bounces=max(depth - 1, 0),
+                      top_order=jnp.asarray(order),
+                      top_keys=jnp.asarray(keys))
+        cap_key = (id(scene), width, height, samples_per_pixel, depth)
+        caps = _BINNED_CAPS.get(cap_key)
+        if depth > 1 and caps is None:
+            # AUTOTUNE probe: one uncapped frame measures per-bounce
+            # alive counts; later bounces usually run far below the full
+            # ray count, so capped re-compiles shrink their regroups and
+            # kernel grids.  1.3x headroom + block rounding absorbs
+            # seed-to-seed variation; any overflow falls back (below).
+            mean, segs, alive = wbn.render_linear_pallas_binned(
+                sph, *sorted_t, cv, seed=seed, return_alive=True,
+                **common)
+            counts = np.asarray(alive)[1:]
+            caps = tuple(int(-(-c * 1.3 // 128)) * 1 for c in counts)
+            caps = tuple(max(16, -(-c // 16) * 16) for c in caps)
+            _BINNED_CAPS[cap_key] = caps
+            return mean, segs
+        if depth > 1:
+            out = wbn.render_linear_pallas_binned(
+                sph, *sorted_t, cv, seed=seed, bounce_caps=caps, **common)
+            mean, segs, overflow = out
+            _BINNED_OVERFLOW.append(overflow)
+            if _check_binned_overflow(overflow):
+                return mean, segs
+            # a live ray crossed the cap: results would be incomplete —
+            # drop the stale caps and re-render uncapped (exact)
+            del _BINNED_CAPS[cap_key]
+            _BINNED_OVERFLOW.clear()
+            return wbn.render_linear_pallas_binned(
+                sph, *sorted_t, cv, seed=seed, **common)
         return wbn.render_linear_pallas_binned(
-            sph, *sorted_t, cv, width=width, height=height,
-            samples_per_pixel=samples_per_pixel, depth=depth, seed=seed,
-            sph_clusters=sph_cl, ray_regroup_bounces=max(depth - 1, 0),
-            top_order=jnp.asarray(order), top_keys=jnp.asarray(keys))
+            sph, *sorted_t, cv, seed=seed, **common)
     if engine == "pallas_sorted":
         if parity_plane_sign:
             raise ValueError("pallas_sorted requires parity_plane_sign="

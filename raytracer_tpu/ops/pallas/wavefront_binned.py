@@ -657,7 +657,8 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
                      "block_rows", "interpret", "node_exit",
                      "gated_tris", "ray_regroup_bounces",
                      "regroup_granularity", "tile_row_stride",
-                     "shard_tile_rows", "debug_counts"))
+                     "shard_tile_rows", "bounce_caps", "return_alive",
+                     "debug_counts"))
 def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                                 sub_counts, grp_bounds, top_bounds,
                                 top_ranges, root_bound, ref_pts,
@@ -671,7 +672,8 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                                 gated_tris=False, ray_regroup_bounces=0,
                                 regroup_granularity=16,
                                 tile_row_offset=0, tile_row_stride=1,
-                                shard_tile_rows=None,
+                                shard_tile_rows=None, bounce_caps=None,
+                                return_alive=False,
                                 debug_counts=False):
     """Mean linear radiance [H, W, 3] + segment count via the binned
     per-bounce pipeline.  Table args come from pack_spheres +
@@ -685,7 +687,17 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     (offset=i, stride=n, shard_tile_rows=ceil(nty/n)) and owns global
     tile rows i, i+n, ...; per-pixel math depends only on the global
     (row, col), so the deinterleaved shards are bitwise identical to a
-    single-device render."""
+    single-device render.
+
+    ``bounce_caps`` (static tuple of row counts for bounces 1..depth-1)
+    compacts the working set: after each regroup (dead rays sort last)
+    only the first cap rows continue to the next kernel pass; the sliced
+    tails — frames whose rays are finished — are carried to assembly
+    unchanged, so the image is EXACT whenever every live ray fits under
+    the cap.  Live rays beyond a cap are counted in the extra
+    ``overflow`` output (returned when caps are given): overflow == 0
+    certifies the frame; callers autotune caps from a probe frame and
+    re-render uncapped on overflow (ops.render_linear_fast)."""
     spp = samples_per_pixel
     tw, th, ntx, nty, rows_total = tile_geometry(width, height, spp,
                                                  block_rows)
@@ -737,10 +749,23 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     segments = (jnp.sum(rows_v) * jnp.sum(cols_v) * spp).astype(
         jnp.float32)
 
+    tails = []
+    overflow = jnp.float32(0.0)
+    alive_per_bounce = [segments]
     for b in range(1, depth):
         gran = 1 if b <= ray_regroup_bounces else regroup_granularity
         state = _regroup(state, keys, gran)
-        segments = segments + jnp.sum(state[_ST_ALIVE])
+        alive_b = jnp.sum(state[_ST_ALIVE])
+        alive_per_bounce.append(alive_b)
+        segments = segments + alive_b
+        if bounce_caps is not None and b - 1 < len(bounce_caps):
+            cap = min(bounce_caps[b - 1], state.shape[1])
+            cap = max((cap // block_rows) * block_rows, block_rows)
+            if cap < state.shape[1]:
+                tail = state[:, cap:, :]
+                tails.append(tail)
+                overflow = overflow + jnp.sum(tail[_ST_ALIVE])
+                state = state[:, :cap, :]
         out = _pass_call(tables, cam_vec, seedb(b), state, primary=False,
                          is_last=(b == depth - 1),
                          debug_counts=debug_counts, **common)
@@ -751,6 +776,10 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
             state, keys = out
 
     # ---- image assembly: invert the regrouping + pure reshape -----------
+    # finished tails rejoin the survivors for assembly (their radiance
+    # and slot ids are final); together they cover every slot exactly
+    if tails:
+        state = jnp.concatenate([state] + tails[::-1], axis=1)
     # chunks are atomic across every regroup, so sorting by the slot plane
     # at the finest granularity used restores the exact bounce-0 order
     if depth > 1:
@@ -783,4 +812,8 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     mean = img[:, :width] * (1.0 / spp)
     if debug_counts:
         return mean, segments, jnp.stack(counts)
+    if return_alive:
+        return mean, segments, jnp.stack(alive_per_bounce)
+    if bounce_caps is not None:
+        return mean, segments, overflow
     return mean, segments

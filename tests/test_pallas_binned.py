@@ -168,3 +168,41 @@ class TestBinnedRenderer:
         got, seg = self._binned(scene, cam, binned_tables)
         assert np.array_equal(np.asarray(ref), np.asarray(got))
         assert int(seg_ref) == int(seg)
+
+
+class TestBounceCaps:
+    """Working-set compaction (bounce_caps): dead rays sort last, so
+    capping later bounces to the live prefix must be EXACT whenever the
+    overflow guard reads zero — and the guard must fire when a live ray
+    would be dropped."""
+
+    def test_generous_caps_bitwise_exact(self, mesh_world, binned_tables):
+        scene, cam = mesh_world
+        sph = jnp.asarray(wf.pack_spheres(scene))
+        order, keys = sorted_top_order(np.asarray(binned_tables[4]),
+                                       np.asarray(cam.origin))
+        kw = dict(width=64, height=48, samples_per_pixel=2, depth=3,
+                  interpret=True, ray_regroup_bounces=2,
+                  top_order=jnp.asarray(order),
+                  top_keys=jnp.asarray(keys))
+        ref, seg_ref = wbn.render_linear_pallas_binned(
+            sph, *binned_tables, wf.camera_vec(cam), **kw)
+        got, seg, overflow = wbn.render_linear_pallas_binned(
+            sph, *binned_tables, wf.camera_vec(cam),
+            bounce_caps=(10_000, 10_000), **kw)
+        assert float(overflow) == 0.0
+        assert np.array_equal(np.asarray(ref), np.asarray(got))
+        assert float(seg_ref) == float(seg)
+
+    def test_tiny_caps_raise_overflow_guard(self, mesh_world,
+                                            binned_tables):
+        scene, cam = mesh_world
+        sph = jnp.asarray(wf.pack_spheres(scene))
+        order, keys = sorted_top_order(np.asarray(binned_tables[4]),
+                                       np.asarray(cam.origin))
+        _, _, overflow = wbn.render_linear_pallas_binned(
+            sph, *binned_tables, wf.camera_vec(cam), width=64, height=48,
+            samples_per_pixel=2, depth=3, interpret=True,
+            ray_regroup_bounces=2, bounce_caps=(16, 16),
+            top_order=jnp.asarray(order), top_keys=jnp.asarray(keys))
+        assert float(overflow) > 0.0
