@@ -36,6 +36,10 @@ def _time_best(fn, n=3, k=8):
     import jax
     out = fn(0)
     jax.block_until_ready(out)
+    # second warmup: engines that autotune on the first call (binned
+    # bounce caps) compile their steady-state variant on the SECOND
+    out = fn(0)
+    jax.block_until_ready(out)
 
     def batch(count, seed0):
         t0 = time.perf_counter()

@@ -307,29 +307,22 @@ def resolve_dispatch(scene: Scene, parity_plane_sign, engine: str = "auto",
 # (scene identity, render shape); see the pallas_binned branch below
 _BINNED_CAPS: dict = {}
 # overflow guards of capped frames this process has produced; checked
-# lazily (device arrays — forcing them per frame would serialize the
-# async dispatch pipeline).  ``flush_binned_overflow_checks`` is the
-# test/bench hook certifying that every capped frame was exact.
+# ONLY via ``flush_binned_overflow_checks`` (device arrays — forcing them
+# inline would serialize the async dispatch pipeline and poison steady-
+# state timing).  Benches/tests flush after their timed region; a nonzero
+# flush also drops every cached cap so subsequent frames re-probe.
 _BINNED_OVERFLOW: list = []
-_OVERFLOW_LAZY = 8
-
-
-def _check_binned_overflow(overflow) -> bool:
-    """True if the capped frame is certified exact.  Checks the OLDEST
-    pending overflow guard once enough frames queue up (keeps the
-    async pipeline deep), plus the current one when the queue is small
-    (interactive use)."""
-    if len(_BINNED_OVERFLOW) < _OVERFLOW_LAZY:
-        return bool(float(overflow) == 0.0)
-    oldest = _BINNED_OVERFLOW.pop(0)
-    return bool(float(oldest) == 0.0)
 
 
 def flush_binned_overflow_checks() -> int:
     """Force every pending capped-frame overflow guard; returns how many
-    frames had overflowing rays (0 certifies all capped output exact)."""
+    frames had overflowing rays (0 certifies all capped output exact).
+    Nonzero also invalidates the autotuned caps (future frames re-probe
+    with fresh headroom)."""
     bad = sum(1 for o in _BINNED_OVERFLOW if float(o) != 0.0)
     _BINNED_OVERFLOW.clear()
+    if bad:
+        _BINNED_CAPS.clear()
     return bad
 
 
@@ -413,18 +406,10 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
             _BINNED_CAPS[cap_key] = caps
             return mean, segs
         if depth > 1:
-            out = wbn.render_linear_pallas_binned(
+            mean, segs, overflow = wbn.render_linear_pallas_binned(
                 sph, *sorted_t, cv, seed=seed, bounce_caps=caps, **common)
-            mean, segs, overflow = out
             _BINNED_OVERFLOW.append(overflow)
-            if _check_binned_overflow(overflow):
-                return mean, segs
-            # a live ray crossed the cap: results would be incomplete —
-            # drop the stale caps and re-render uncapped (exact)
-            del _BINNED_CAPS[cap_key]
-            _BINNED_OVERFLOW.clear()
-            return wbn.render_linear_pallas_binned(
-                sph, *sorted_t, cv, seed=seed, **common)
+            return mean, segs
         return wbn.render_linear_pallas_binned(
             sph, *sorted_t, cv, seed=seed, **common)
     if engine == "pallas_sorted":
