@@ -383,9 +383,18 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
         cv = wf.camera_vec(camera)
         order, keys = sorted_top_order(np.asarray(sorted_t[4]),
                                        np.asarray(camera.origin))
+        # measured block-size crossover: small scenes amortize per-block
+        # walk overhead with 32-row blocks (1292-tri mesh 51.7 -> 60.3
+        # Mrays/s); big scenes keep 16 (tight lockstep unions beat the
+        # overhead saving).  Regroups stay exact per-ray everywhere:
+        # coarse row-level regroups LOOKED faster on small scenes until
+        # the overflow guard showed their live rays spread over ~3x the
+        # rows, forcing looser caps that gave the win back.
+        n_tris_b = int(np.sum(np.asarray(scene.tri_valid)))
         common = dict(width=width, height=height,
                       samples_per_pixel=samples_per_pixel, depth=depth,
                       sph_clusters=sph_cl,
+                      block_rows=32 if n_tris_b < 4096 else 16,
                       ray_regroup_bounces=max(depth - 1, 0),
                       top_order=jnp.asarray(order),
                       top_keys=jnp.asarray(keys))

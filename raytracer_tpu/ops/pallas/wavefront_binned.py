@@ -756,7 +756,13 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
         gran = 1 if b <= ray_regroup_bounces else regroup_granularity
         state = _regroup(state, keys, gran)
         alive_b = jnp.sum(state[_ST_ALIVE])
-        alive_per_bounce.append(alive_b)
+        # caps are ROW slices: report the live-ROW footprint (in ray
+        # equivalents) — at coarse regroup granularity live rays do not
+        # pack densely, so ray counts alone would under-cap (the
+        # overflow guard caught exactly this)
+        live_rows = jnp.sum(
+            (jnp.max(state[_ST_ALIVE], axis=1) > 0.0).astype(jnp.float32))
+        alive_per_bounce.append(live_rows * LANES)
         segments = segments + alive_b
         if bounce_caps is not None and b - 1 < len(bounce_caps):
             cap = min(bounce_caps[b - 1], state.shape[1])
