@@ -82,6 +82,11 @@ from .wavefront_sorted import (
 _ST_SLOT = 13
 P_STATE = 16
 
+import os as _os
+# experiment switch: fetch triangle data per passing GROUP (8 KB) instead
+# of per passing TOP (96 KB)
+GROUP_DMA = bool(int(_os.environ.get("BINNED_GROUP_DMA", "1")))
+
 # sort-key layout: [chosen top | 6-bit direction class | 9-bit origin cell]
 _KEY_SUB_BITS = 15
 _KEY_NOMESH = np.int32(0x7FFE0000)   # live ray, no mesh candidate
@@ -381,7 +386,22 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                                       inv_y, inv_z, cull_t(hs[0]), alive)
                 any_g = jnp.max(jnp.where(possible, 1.0, 0.0))
                 c_grp = c_grp + (any_g > 0.0).astype(jnp.int32)
-                base = (g - g0r) * GROUP
+                if GROUP_DMA:
+                    # fetch only this PASSING group's 128 columns (8 KB):
+                    # at the measured 2.2 GB/s SMEM fill rate the per-top
+                    # 96 KB copy costs ~44 us, and a block's passing
+                    # groups are typically a fraction of its passing
+                    # tops' spans
+                    @pl.when(any_g > 0.0)
+                    def _():
+                        dma = pltpu.make_async_copy(
+                            tri_hbm.at[:, pl.ds(g * GROUP, GROUP)],
+                            tri_smem, dma_sem)
+                        dma.start()
+                        dma.wait()
+                    base = 0
+                else:
+                    base = (g - g0r) * GROUP
 
                 def sub_body(k, carry2):
                     c_sub, c_tri = carry2[0], carry2[1]
@@ -442,13 +462,14 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
             c_top = c_top + (any_p > 0.0).astype(jnp.int32)
             g0r = topr_ref[0, ci]
 
-            @pl.when(any_p > 0.0)
-            def _():
-                dma = pltpu.make_async_copy(
-                    tri_hbm.at[:, pl.ds(g0r * GROUP, TOP_SPAN)],
-                    tri_smem, dma_sem)
-                dma.start()
-                dma.wait()
+            if not GROUP_DMA:
+                @pl.when(any_p > 0.0)
+                def _():
+                    dma = pltpu.make_async_copy(
+                        tri_hbm.at[:, pl.ds(g0r * GROUP, TOP_SPAN)],
+                        tri_smem, dma_sem)
+                    dma.start()
+                    dma.wait()
 
             g0 = jnp.where(any_p > 0.0, g0r, 0)
             g1 = jnp.where(any_p > 0.0, topr_ref[1, ci], 0)
@@ -637,7 +658,8 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.SMEM((TRI_ROWS_PAD, TOP_SPAN), jnp.float32),
+            pltpu.SMEM((TRI_ROWS_PAD, GROUP if GROUP_DMA else TOP_SPAN),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
