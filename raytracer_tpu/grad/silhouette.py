@@ -505,11 +505,11 @@ def mirror_silhouette_grad(scene: Scene, camera: Camera, g_img, *,
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
                      "parity_plane_sign", "n_edge", "samples_per_edge",
-                     "max_edges", "param_keys"))
+                     "max_edges", "param_keys", "mirror_pairs"))
 def _loss_and_grad(scene, camera, target, params, param_keys, *, width,
                    height, samples_per_pixel, depth, parity_plane_sign,
                    seed, n_edge, samples_per_edge,
-                   max_edges=MAX_EDGE_SAMPLES):
+                   max_edges=MAX_EDGE_SAMPLES, mirror_pairs=True):
     from .params import apply_params
 
     def loss_fn(p):
@@ -532,10 +532,13 @@ def _loss_and_grad(scene, camera, target, params, param_keys, *, width,
             s_now, camera, g_img, width=width, height=height, depth=depth,
             parity_plane_sign=parity_plane_sign, seed=seed + 7919,
             n_edge=n_edge)
-        if scene.num_spheres <= 32:
+        if scene.num_spheres <= 32 and mirror_pairs:
             # one-bounce mirror silhouettes (S*S pair sweep — gated to
-            # FFI/default-world-class sphere counts; bigger scenes keep
-            # interior-only AD for reflected boundaries)
+            # FFI/default-world-class sphere counts AND host-side on the
+            # scene actually containing a fuzz=0 metal sphere: without
+            # one every pair masks to zero but still traces 2*n_edge
+            # probe rays per pair; bigger scenes keep interior-only AD
+            # for reflected boundaries)
             d_cm, d_rm = mirror_silhouette_grad(
                 s_now, camera, g_img, width=width, height=height,
                 depth=depth, parity_plane_sign=parity_plane_sign,
@@ -572,9 +575,15 @@ def value_and_grad_with_silhouette(scene: Scene, camera: Camera, target,
     triangle edge-sampling estimator for tri_v0/v1/v2 (scenes up to
     MAX_EDGE_TRIS) — gradients usable across visibility boundaries
     without eroding the loss to silhouette interiors."""
+    import numpy as _np
+    kinds = _np.asarray(scene.materials.kind)[_np.asarray(scene.sphere_mat)]
+    fuzz = _np.asarray(scene.materials.fuzz)[_np.asarray(scene.sphere_mat)]
+    valid = _np.asarray(scene.sphere_valid)
+    mirror_pairs = bool(_np.any((kinds == 1) & (fuzz == 0.0) & valid))
     return _loss_and_grad(
         scene, camera, target, params, tuple(sorted(params.keys())),
         width=width, height=height, samples_per_pixel=samples_per_pixel,
         depth=depth, parity_plane_sign=parity_plane_sign, seed=seed,
         n_edge=n_edge, samples_per_edge=samples_per_edge,
+        mirror_pairs=mirror_pairs,
         max_edges=max_edges)

@@ -243,16 +243,47 @@ def scene_stream_tables(scene: Scene):
     return tables
 
 
-def binned_spp_ok(samples_per_pixel) -> bool:
-    """The binned engine folds samples into its tile layout: spp must be a
-    power of two <= 128 (wavefront_binned.tile_geometry)."""
+def binned_spp_ok(samples_per_pixel, width=None, height=None) -> bool:
+    """The binned engine folds samples into its tile layout: spp must be
+    <= 128 (non-power-of-two spp decomposes into power-of-two sub-renders
+    sharing tables — see ``_binned_spp_parts``), and when the render shape
+    is known the total ray count must keep slot ids exact in f32
+    (< 2^24: the slot rides a float state plane,
+    wavefront_binned._ST_SLOT)."""
     spp = samples_per_pixel
-    return (spp is not None and 1 <= spp <= 128
-            and (spp & (spp - 1)) == 0)
+    if spp is None or not (1 <= spp <= 128):
+        return False
+    if width is not None and height is not None:
+        from .pallas import wavefront_binned as wbn
+        for part in _binned_spp_parts(spp):
+            try:
+                _, _, _, _, rows = wbn.tile_geometry(width, height, part,
+                                                     16)
+            except ValueError:
+                return False
+            if rows * wbn.LANES > (1 << 24):
+                return False
+    return True
+
+
+def _binned_spp_parts(spp: int):
+    """Power-of-two decomposition of ``spp`` (descending): 50 -> (32, 16,
+    2).  Each part renders independently (sample streams are counter-based
+    on the GLOBAL sample index) and the pre-mean images sum."""
+    parts = []
+    bit = 128
+    while spp:
+        if spp >= bit:
+            parts.append(bit)
+            spp -= bit
+        else:
+            bit >>= 1
+    return tuple(parts)
 
 
 def resolve_dispatch(scene: Scene, parity_plane_sign, engine: str = "auto",
-                     tpu: bool | None = None, samples_per_pixel=None):
+                     tpu: bool | None = None, samples_per_pixel=None,
+                     width=None, height=None):
     """Resolve (engine, parity_plane_sign, warning) for a render request.
 
     ``parity_plane_sign=None`` means "per scene": reference-parity scenes
@@ -276,12 +307,12 @@ def resolve_dispatch(scene: Scene, parity_plane_sign, engine: str = "auto",
     warning = None
     if engine == "auto":
         n_tris = int(np.sum(np.asarray(scene.tri_valid)))
+        spp_ok = binned_spp_ok(samples_per_pixel, width, height)
         if (tpu and not parity_plane_sign and n_tris >= SORTED_MIN_TRIS
                 and sorted_smem_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES):
-            engine = ("pallas_binned" if binned_spp_ok(samples_per_pixel)
-                      else "pallas_sorted")
+            engine = "pallas_binned" if spp_ok else "pallas_sorted"
         elif (tpu and not parity_plane_sign and n_tris >= BINNED_MIN_TRIS
-              and binned_spp_ok(samples_per_pixel)
+              and spp_ok
               and sorted_smem_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES):
             engine = "pallas_binned"
         elif tpu and pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES:
@@ -304,14 +335,37 @@ def resolve_dispatch(scene: Scene, parity_plane_sign, engine: str = "auto",
 
 
 # autotuned per-bounce working-set caps for the binned engine, keyed on
-# (scene identity, render shape); see the pallas_binned branch below
+# (scene id, render shape, camera bytes); values carry a weakref to the
+# scene so a recycled id() can never inherit caps from dead geometry, and
+# the camera hash re-probes when the viewpoint (hence per-bounce alive
+# counts) changes — see the pallas_binned branch below
 _BINNED_CAPS: dict = {}
-# overflow guards of capped frames this process has produced; checked
-# ONLY via ``flush_binned_overflow_checks`` (device arrays — forcing them
-# inline would serialize the async dispatch pipeline and poison steady-
-# state timing).  Benches/tests flush after their timed region; a nonzero
-# flush also drops every cached cap so subsequent frames re-probe.
+# overflow guards of capped frames this process has produced.  Each frame
+# starts an async device->host copy of its guard and lazily drains guards
+# two frames old (their transfer has landed, so the check costs no device
+# sync) — normal API callers therefore self-certify with one frame of
+# latency.  ``flush_binned_overflow_checks`` forces the remainder; benches
+# and tests call it after their timed region.  A nonzero guard drops every
+# cached cap so subsequent frames re-probe.
 _BINNED_OVERFLOW: list = []
+
+
+def _note_overflow(overflow) -> int:
+    """Record a capped frame's overflow guard and drain guards old enough
+    to be host-resident.  Returns how many DRAINED frames overflowed
+    (caps are already invalidated when nonzero)."""
+    try:
+        overflow.copy_to_host_async()
+    except Exception:
+        pass
+    _BINNED_OVERFLOW.append(overflow)
+    bad = 0
+    while len(_BINNED_OVERFLOW) > 2:
+        if float(_BINNED_OVERFLOW.pop(0)) != 0.0:
+            bad += 1
+    if bad:
+        _BINNED_CAPS.clear()
+    return bad
 
 
 def flush_binned_overflow_checks() -> int:
@@ -324,6 +378,106 @@ def flush_binned_overflow_checks() -> int:
     if bad:
         _BINNED_CAPS.clear()
     return bad
+
+
+def _render_binned(scene: Scene, camera: Camera, *, width: int,
+                   height: int, samples_per_pixel: int, depth: int,
+                   seed: int):
+    """Binned-engine render with autotuned working-set caps and lazy
+    overflow certification.
+
+    Non-power-of-two spp decomposes into power-of-two sub-renders
+    (50 = 32 + 16 + 2) sharing the packed tables; sample streams are
+    counter-based on the GLOBAL sample index, so the summed image equals
+    the other engines' 50-spp image to float rounding (the reference CLI
+    default is 50 spp, main.rs:24-25).
+
+    Caps are keyed on (scene identity, shape, camera bytes): a new camera
+    (the interactive move path, lib.rs:60-63) renders UNCAPPED — exact by
+    construction — while measuring per-bounce live counts, so repeated
+    renders from the same viewpoint (bench loops, progressive viewer
+    refinement) ride capped fast frames whose overflow guards drain
+    lazily (two frames of latency, no device sync; a tripped guard
+    invalidates every cap and the current frame re-renders uncapped)."""
+    from .pallas import wavefront as wf
+    from .pallas import wavefront_binned as wbn
+    from .pallas.wavefront_stream import sorted_top_order
+    (sph, sph_cl, *sorted_t) = scene_sorted_tables(scene)
+    cv = wf.camera_vec(camera)
+    cam_np = np.concatenate([
+        np.asarray(camera.origin, np.float32),
+        np.asarray(camera.lower_left_corner, np.float32),
+        np.asarray(camera.horizontal, np.float32),
+        np.asarray(camera.vertical, np.float32)])
+    cam_bytes = cam_np.tobytes()
+    order, keys = sorted_top_order(np.asarray(sorted_t[4]), cam_np[:3])
+    # measured block-size crossover: small scenes amortize per-block
+    # walk overhead with 32-row blocks (1292-tri mesh 51.7 -> 60.3
+    # Mrays/s); big scenes keep 16 (tight lockstep unions beat the
+    # overhead saving).  Regroups stay exact per-ray everywhere:
+    # coarse row-level regroups LOOKED faster on small scenes until
+    # the overflow guard showed their live rays spread over ~3x the
+    # rows, forcing looser caps that gave the win back.
+    n_tris_b = int(np.sum(np.asarray(scene.tri_valid)))
+    common = dict(width=width, height=height, depth=depth,
+                  sph_clusters=sph_cl,
+                  block_rows=32 if n_tris_b < 4096 else 16,
+                  ray_regroup_bounces=max(depth - 1, 0),
+                  top_order=jnp.asarray(order),
+                  top_keys=jnp.asarray(keys))
+
+    def render_part(spp, sample_offset):
+        if depth <= 1:
+            return wbn.render_linear_pallas_binned(
+                sph, *sorted_t, cv, seed=seed, samples_per_pixel=spp,
+                sample_offset=sample_offset, **common)
+        cap_key = (id(scene), width, height, spp, depth, sample_offset,
+                   cam_bytes)
+        hit = _BINNED_CAPS.get(cap_key)
+        caps = hit[1] if hit is not None and hit[0]() is scene else None
+        if caps is None:
+            # AUTOTUNE probe: one uncapped frame measures per-bounce
+            # alive counts; later bounces usually run far below the full
+            # ray count, so capped re-compiles shrink their regroups and
+            # kernel grids.  1.3x headroom + block rounding absorbs
+            # seed-to-seed variation; any overflow falls back (below).
+            mean, segs, alive = wbn.render_linear_pallas_binned(
+                sph, *sorted_t, cv, seed=seed, samples_per_pixel=spp,
+                sample_offset=sample_offset, return_alive=True, **common)
+            counts = np.asarray(alive)[1:]
+            caps = tuple(int(-(-c * 1.3 // 128)) * 1 for c in counts)
+            caps = tuple(max(16, -(-c // 16) * 16) for c in caps)
+            if len(_BINNED_CAPS) > 64:
+                _BINNED_CAPS.clear()
+            _BINNED_CAPS[cap_key] = (weakref.ref(scene), caps)
+            return mean, segs
+        mean, segs, overflow = wbn.render_linear_pallas_binned(
+            sph, *sorted_t, cv, seed=seed, samples_per_pixel=spp,
+            sample_offset=sample_offset, bounce_caps=caps, **common)
+        if _note_overflow(overflow):
+            import warnings
+            warnings.warn(
+                "binned working-set caps overflowed on a recent frame "
+                "(its output dropped live rays); caps invalidated — "
+                "re-rendering this frame uncapped", stacklevel=3)
+            mean, segs, _ = wbn.render_linear_pallas_binned(
+                sph, *sorted_t, cv, seed=seed, samples_per_pixel=spp,
+                sample_offset=sample_offset, return_alive=True, **common)
+        return mean, segs
+
+    parts = _binned_spp_parts(samples_per_pixel)
+    if len(parts) == 1:
+        return render_part(parts[0], 0)
+    total = None
+    segments = jnp.float32(0.0)
+    offset = 0
+    for spp in parts:
+        mean, segs = render_part(spp, offset)
+        piece = mean * jnp.float32(spp)
+        total = piece if total is None else total + piece
+        segments = segments + segs
+        offset += spp
+    return total * (1.0 / samples_per_pixel), segments
 
 
 def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
@@ -349,7 +503,7 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
     """
     engine, parity_plane_sign, warning = resolve_dispatch(
         scene, parity_plane_sign, engine,
-        samples_per_pixel=samples_per_pixel)
+        samples_per_pixel=samples_per_pixel, width=width, height=height)
     if warning is not None:
         import warnings
         warnings.warn(warning, stacklevel=2)
@@ -373,54 +527,13 @@ def render_linear_fast(scene: Scene, camera: Camera, *, width: int,
         if parity_plane_sign:
             raise ValueError("pallas_binned requires parity_plane_sign="
                              "False (bound culling soundness)")
-        if not binned_spp_ok(samples_per_pixel):
-            raise ValueError("pallas_binned needs power-of-two "
-                             "samples_per_pixel <= 128")
-        from .pallas import wavefront as wf
-        from .pallas import wavefront_binned as wbn
-        from .pallas.wavefront_stream import sorted_top_order
-        (sph, sph_cl, *sorted_t) = scene_sorted_tables(scene)
-        cv = wf.camera_vec(camera)
-        order, keys = sorted_top_order(np.asarray(sorted_t[4]),
-                                       np.asarray(camera.origin))
-        # measured block-size crossover: small scenes amortize per-block
-        # walk overhead with 32-row blocks (1292-tri mesh 51.7 -> 60.3
-        # Mrays/s); big scenes keep 16 (tight lockstep unions beat the
-        # overhead saving).  Regroups stay exact per-ray everywhere:
-        # coarse row-level regroups LOOKED faster on small scenes until
-        # the overflow guard showed their live rays spread over ~3x the
-        # rows, forcing looser caps that gave the win back.
-        n_tris_b = int(np.sum(np.asarray(scene.tri_valid)))
-        common = dict(width=width, height=height,
-                      samples_per_pixel=samples_per_pixel, depth=depth,
-                      sph_clusters=sph_cl,
-                      block_rows=32 if n_tris_b < 4096 else 16,
-                      ray_regroup_bounces=max(depth - 1, 0),
-                      top_order=jnp.asarray(order),
-                      top_keys=jnp.asarray(keys))
-        cap_key = (id(scene), width, height, samples_per_pixel, depth)
-        caps = _BINNED_CAPS.get(cap_key)
-        if depth > 1 and caps is None:
-            # AUTOTUNE probe: one uncapped frame measures per-bounce
-            # alive counts; later bounces usually run far below the full
-            # ray count, so capped re-compiles shrink their regroups and
-            # kernel grids.  1.3x headroom + block rounding absorbs
-            # seed-to-seed variation; any overflow falls back (below).
-            mean, segs, alive = wbn.render_linear_pallas_binned(
-                sph, *sorted_t, cv, seed=seed, return_alive=True,
-                **common)
-            counts = np.asarray(alive)[1:]
-            caps = tuple(int(-(-c * 1.3 // 128)) * 1 for c in counts)
-            caps = tuple(max(16, -(-c // 16) * 16) for c in caps)
-            _BINNED_CAPS[cap_key] = caps
-            return mean, segs
-        if depth > 1:
-            mean, segs, overflow = wbn.render_linear_pallas_binned(
-                sph, *sorted_t, cv, seed=seed, bounce_caps=caps, **common)
-            _BINNED_OVERFLOW.append(overflow)
-            return mean, segs
-        return wbn.render_linear_pallas_binned(
-            sph, *sorted_t, cv, seed=seed, **common)
+        if not binned_spp_ok(samples_per_pixel, width, height):
+            raise ValueError(
+                "pallas_binned needs samples_per_pixel <= 128 and a total "
+                "ray count below 2^24 (slot ids ride an f32 state plane)")
+        return _render_binned(scene, camera, width=width, height=height,
+                              samples_per_pixel=samples_per_pixel,
+                              depth=depth, seed=seed)
     if engine == "pallas_sorted":
         if parity_plane_sign:
             raise ValueError("pallas_sorted requires parity_plane_sign="

@@ -107,7 +107,16 @@ def tile_geometry(width, height, spp, block_rows):
     th = pix_blk // tw
     ntx = -(-width // tw)
     nty = -(-height // th)
-    return tw, th, ntx, nty, ntx * nty * block_rows
+    rows_total = ntx * nty * block_rows
+    if rows_total * LANES > (1 << 24):
+        # slot ids ride an f32 state plane (_ST_SLOT): beyond 2^24 rays
+        # they stop being exact and would silently corrupt pixel ids,
+        # RNG streams, and the slot-sort image assembly
+        raise ValueError(
+            f"binned engine ray count {rows_total * LANES} exceeds the "
+            f"2^24 f32 slot-id range; render in bands or use the sorted "
+            f"engine")
+    return tw, th, ntx, nty, rows_total
 
 
 def _regroup(state, keys, gran):
@@ -240,6 +249,7 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
         b = seedb_ref[1].astype(jnp.int32)
         seed_word = seedb_ref[0]
         ty_off = seedb_ref[2].astype(jnp.int32)
+        samp_off = seedb_ref[3].astype(jnp.int32)
         blk = pl.program_id(0)
 
         zero = jnp.zeros((R, LANES), jnp.float32)
@@ -271,7 +281,10 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
         prow_c = jnp.minimum(prow, height - 1)
         pcol_c = jnp.minimum(pcol, width - 1)
         pix_u = (prow_c * width + pcol_c).astype(jnp.uint32) + seed_word
-        s_u = s.astype(jnp.uint32)
+        # sample streams are counter-based on the GLOBAL sample index:
+        # non-power-of-two spp renders as power-of-two sub-renders whose
+        # offsets partition 0..spp-1 (ops._binned_spp_parts)
+        s_u = (s + samp_off).astype(jnp.uint32)
 
         # ---- ray state --------------------------------------------------
         if primary:
@@ -688,7 +701,8 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                                 key_lo, key_hi, sub_aabb, grp_aabb,
                                 top_aabb, cam_vec, *,
                                 width, height, samples_per_pixel, depth,
-                                seed=0, block_rows=16, interpret=False,
+                                seed=0, sample_offset=0,
+                                block_rows=16, interpret=False,
                                 sph_clusters=None, top_order=None,
                                 top_keys=None, node_exit=True,
                                 gated_tris=False, ray_regroup_bounces=0,
@@ -744,9 +758,10 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     seed_word = jnp.uint32(seed) * _SEED_MIX
 
     ty_off = jnp.asarray(tile_row_offset, jnp.int32).astype(jnp.uint32)
+    samp_off = jnp.asarray(sample_offset, jnp.int32).astype(jnp.uint32)
 
     def seedb(b):
-        return jnp.stack([seed_word, jnp.uint32(b), ty_off])
+        return jnp.stack([seed_word, jnp.uint32(b), ty_off, samp_off])
 
     common = dict(width=width, height=height, spp=spp,
                   block_rows=block_rows, node_exit=node_exit, tw=tw,

@@ -151,6 +151,32 @@ class TestBinnedRenderer:
             wbn.tile_geometry(64, 48, 3, 16)
         with pytest.raises(ValueError):
             wbn.tile_geometry(64, 48, 256, 16)
+        # > 2^24 rays would overflow the f32 slot-id plane (ADVICE r4)
+        with pytest.raises(ValueError):
+            wbn.tile_geometry(1024, 1024, 32, 16)
+
+    def test_sample_offset_parts_sum_to_full_render(self, mesh_world,
+                                                    binned_tables):
+        # non-power-of-two spp renders as power-of-two sub-renders on the
+        # GLOBAL sample index (ops._binned_spp_parts): parts (2, 1) at
+        # offsets (0, 2) must reproduce the spp=3 sample set exactly,
+        # which equals the sorted engine's spp=3 image
+        scene, cam = mesh_world
+        p0, _ = self._binned(scene, cam, binned_tables, spp=2, depth=3,
+                             sample_offset=0)
+        p1, _ = self._binned(scene, cam, binned_tables, spp=1, depth=3,
+                             sample_offset=2)
+        got = (np.asarray(p0) * 2.0 + np.asarray(p1)) / 3.0
+        sph = jnp.asarray(wf.pack_spheres(scene))
+        order, keys = sorted_top_order(np.asarray(binned_tables[4]),
+                                       np.asarray(cam.origin))
+        ref, _ = wso.render_linear_pallas_sorted(
+            sph, *binned_tables, wf.camera_vec(cam), width=self.W,
+            height=self.H, samples_per_pixel=3, depth=3,
+            top_order=jnp.asarray(order), top_keys=jnp.asarray(keys),
+            interpret=True)
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5,
+                                   atol=2e-6)
 
     def test_bitwise_equal_to_sorted_engine(self, mesh_world,
                                             binned_tables):
