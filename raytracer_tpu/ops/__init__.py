@@ -351,16 +351,26 @@ _BINNED_OVERFLOW: list = []
 
 
 def _note_overflow(overflow) -> int:
-    """Record a capped frame's overflow guard and drain guards old enough
-    to be host-resident.  Returns how many DRAINED frames overflowed
-    (caps are already invalidated when nonzero)."""
+    """Record a capped frame's overflow guard and drain every guard whose
+    device value has already landed (``is_ready`` — never blocks, so the
+    async dispatch pipeline and steady-state timing stay intact).  The
+    list is bounded: past 16 pending guards the oldest is forced.
+    Returns how many DRAINED frames overflowed (caps are already
+    invalidated when nonzero)."""
     try:
         overflow.copy_to_host_async()
     except Exception:
         pass
     _BINNED_OVERFLOW.append(overflow)
     bad = 0
-    while len(_BINNED_OVERFLOW) > 2:
+    while _BINNED_OVERFLOW:
+        head = _BINNED_OVERFLOW[0]
+        try:
+            ready = head.is_ready()
+        except Exception:
+            ready = True
+        if not ready and len(_BINNED_OVERFLOW) <= 16:
+            break
         if float(_BINNED_OVERFLOW.pop(0)) != 0.0:
             bad += 1
     if bad:

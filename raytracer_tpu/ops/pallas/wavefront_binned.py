@@ -77,10 +77,18 @@ from .wavefront_sorted import (
 # state plane 13 carries the ray's SLOT id (exact in f32 for < 2^24 rays:
 # slot = original_row * 128 + lane, the bounce-0 position), so pixel ids
 # and RNG streams survive any regrouping — row-granularity takes or full
-# per-ray sorts; the remaining pad planes keep the row a clean
-# (16, 128)-tile for cheap takes
+# per-ray sorts.  14 planes exactly (no pads): every regroup gather and
+# kernel state transfer pays per plane (round-5 profile: the OBJ frame is
+# glue-dominated), and VMEM tiling only constrains the LAST two dims
 _ST_SLOT = 13
-P_STATE = 16
+P_STATE = 14
+
+# supertop selection granularity: next-top selection tests SUPER
+# consecutive DFS tops as one union AABB and only descends supertops some
+# lane could improve on (the flat per-top scan is O(n_tops) per bounce —
+# ~24 ms/frame at 256 tops before this)
+SUPER = 16
+SUPER_MIN_TOPS = 48   # flat scan below this (supertop overhead > win)
 
 import os as _os
 # experiment switch: fetch triangle data per passing GROUP (8 KB) instead
@@ -214,7 +222,7 @@ def _make_tri_body_gated(read, ox, oy, oz, dx, dy, dz):
 def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                       n_tops, block_rows, *, primary, is_last, node_exit,
                       tw, th, ntx, tile_row_stride=1, gated_tris=False,
-                      debug_counts=False):
+                      super_selection=None, debug_counts=False):
     """One render pass over a (block_rows x LANES)-ray block.
 
     ``primary``: generate bounce-0 camera rays in-kernel (no state input)
@@ -228,13 +236,17 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
     lgtw = tw.bit_length() - 1
     inv_w1 = np.float32(max(width - 1, 1))
     inv_h1 = np.float32(max(height - 1, 1))
+    if super_selection is None:
+        super_selection = n_tops >= SUPER_MIN_TOPS
+    use_super = (not is_last) and super_selection
 
     def kernel(*refs):
         (sph_ref, sphc_b_ref, sphc_r_ref, subb_ref, subn_ref, grpb_ref,
          topb_ref, topr_ref, order_ref, keys_ref, crunb_ref, refp_ref,
          norder_ref, nkeys_ref, nrunb_ref, root_ref, klo_ref, khi_ref,
-         suba_ref, grpa_ref, topa_ref, cam_ref, seedb_ref) = refs[:23]
-        refs = refs[23:]
+         suba_ref, grpa_ref, topa_ref, supa_ref, topap_ref, cam_ref,
+         seedb_ref) = refs[:25]
+        refs = refs[25:]
         if not primary:
             state_ref = refs[0]
             refs = refs[1:]
@@ -244,7 +256,10 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
         if debug_counts:
             cnt_ref = refs[0]
             refs = refs[1:]
-        tri_smem, dma_sem = refs
+        if use_super:
+            tri_smem, dma_sem, sel_scr = refs
+        else:
+            tri_smem, dma_sem = refs
 
         b = seedb_ref[1].astype(jnp.int32)
         seed_word = seedb_ref[0]
@@ -542,8 +557,6 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
         out_ref[_ST_RB] = rb
         out_ref[_ST_ALIVE] = alive_f
         out_ref[_ST_SLOT] = slot.astype(jnp.float32)
-        for q in range(_ST_SLOT + 1, P_STATE):
-            out_ref[q] = zero
 
         # ---- next-top selection -> per-lane sort keys -------------------
         if is_last:
@@ -552,14 +565,13 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
             alive2 = alive_f > 0.5
             niv_x, niv_y, niv_z = _safe_inv_dir(dx, dy, dz)
 
-            def sel_body(c, carry):
-                best_e, best_c = carry
-                tx0 = (topa_ref[0, c] - ox) * niv_x
-                tx1 = (topa_ref[3, c] - ox) * niv_x
-                ty0 = (topa_ref[1, c] - oy) * niv_y
-                ty1 = (topa_ref[4, c] - oy) * niv_y
-                tz0 = (topa_ref[2, c] - oz) * niv_z
-                tz1 = (topa_ref[5, c] - oz) * niv_z
+            def top_entry(aref, c):
+                tx0 = (aref[0, c] - ox) * niv_x
+                tx1 = (aref[3, c] - ox) * niv_x
+                ty0 = (aref[1, c] - oy) * niv_y
+                ty1 = (aref[4, c] - oy) * niv_y
+                tz0 = (aref[2, c] - oz) * niv_z
+                tz1 = (aref[5, c] - oz) * niv_z
                 tnear = jnp.maximum(
                     jnp.maximum(jnp.minimum(tx0, tx1),
                                 jnp.minimum(ty0, ty1)),
@@ -567,16 +579,58 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                 tfar = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                                jnp.maximum(ty0, ty1)),
                                    jnp.maximum(tz0, tz1))
-                ok = (tnear <= tfar) & (tfar > T_MIN)
-                e = jnp.where(ok, tnear, BIG)
-                better = e < best_e
-                return (jnp.where(better, e, best_e),
-                        jnp.where(better, c, best_c))
+                return tnear, (tnear <= tfar) & (tfar > T_MIN)
 
-            best_e, best_c = jax.lax.fori_loop(
-                0, n_tops, sel_body,
-                (jnp.full((R, LANES), BIG),
-                 jnp.full((R, LANES), -1, jnp.int32)))
+            if use_super:
+                # two-level scan: one union-AABB test per SUPER
+                # consecutive DFS tops; descend (pl.when on a scalar, so
+                # skipped supertops really are skipped — lax.cond would
+                # execute both branches) only when some live lane could
+                # improve on its current best entry.  best (e, c) live in
+                # VMEM scratch because pl.when bodies cannot carry values
+                n_super = supa_ref.shape[1]
+                sel_scr[0] = jnp.full((R, LANES), BIG)
+                sel_scr[1] = jnp.full((R, LANES), -1.0)
+
+                def s_body(si, _):
+                    tnear_s, ok_s = top_entry(supa_ref, si)
+                    guard = jnp.where(alive2, sel_scr[0],
+                                      jnp.float32(-BIG))
+                    improve = ok_s & (tnear_s < guard)
+                    any_i = jnp.max(jnp.where(improve, 1.0, 0.0))
+
+                    @pl.when(any_i > 0.0)
+                    def _():
+                        be = sel_scr[0]
+                        bc = sel_scr[1]
+                        for k in range(SUPER):
+                            ci = si * SUPER + k
+                            tn, ok = top_entry(topap_ref, ci)
+                            e = jnp.where(ok, tn, BIG)
+                            better = e < be
+                            be = jnp.where(better, e, be)
+                            bc = jnp.where(better,
+                                           ci.astype(jnp.float32), bc)
+                        sel_scr[0] = be
+                        sel_scr[1] = bc
+                    return 0
+
+                jax.lax.fori_loop(0, n_super, s_body, 0)
+                best_e = sel_scr[0]
+                best_c = sel_scr[1].astype(jnp.int32)
+            else:
+                def sel_body(c, carry):
+                    best_e, best_c = carry
+                    tnear, ok = top_entry(topa_ref, c)
+                    e = jnp.where(ok, tnear, BIG)
+                    better = e < best_e
+                    return (jnp.where(better, e, best_e),
+                            jnp.where(better, c, best_c))
+
+                best_e, best_c = jax.lax.fori_loop(
+                    0, n_tops, sel_body,
+                    (jnp.full((R, LANES), BIG),
+                     jnp.full((R, LANES), -1, jnp.int32)))
             found = best_c >= 0
 
             klx = klo_ref[0]
@@ -609,10 +663,10 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
 def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
                block_rows, primary, is_last, node_exit, tw, th, ntx,
                interpret, tile_row_stride=1, gated_tris=False,
-               debug_counts=False):
+               super_selection=None, debug_counts=False):
     (sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
      crunb, refp, norder, nkeys, nrunb, root, klo, khi, suba, grpa,
-     topa, tri_hbm) = tables
+     topa, supa, topap, tri_hbm) = tables
     n_spheres = sph.shape[1]
     n_sph_clusters = 0 if sphc_b is None else sphc_b.shape[1]
     if sphc_b is None:
@@ -639,6 +693,7 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
                                tw=tw, th=th, ntx=ntx,
                                tile_row_stride=tile_row_stride,
                                gated_tris=gated_tris,
+                               super_selection=super_selection,
                                debug_counts=debug_counts)
 
     state_spec = pl.BlockSpec((P_STATE, R, LANES),
@@ -665,16 +720,21 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     args.append(tri_hbm)
 
+    scratch_shapes = [
+        pltpu.SMEM((TRI_ROWS_PAD, GROUP if GROUP_DMA else TOP_SPAN),
+                   jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    use_super = (super_selection if super_selection is not None
+                 else n_tops >= SUPER_MIN_TOPS)
+    if (not is_last) and use_super:
+        scratch_shapes.append(pltpu.VMEM((2, R, LANES), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=23,
+        num_scalar_prefetch=25,
         grid=(nblocks,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.SMEM((TRI_ROWS_PAD, GROUP if GROUP_DMA else TOP_SPAN),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     return pl.pallas_call(
         kernel,
@@ -683,7 +743,7 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
         interpret=interpret,
     )(sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
       crunb, refp, norder, nkeys, nrunb, root, klo, khi, suba, grpa,
-      topa, cam_vec, seedb, *args)
+      topa, supa, topap, cam_vec, seedb, *args)
 
 
 @functools.partial(
@@ -693,7 +753,7 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
                      "gated_tris", "ray_regroup_bounces",
                      "regroup_granularity", "tile_row_stride",
                      "shard_tile_rows", "bounce_caps", "return_alive",
-                     "debug_counts"))
+                     "super_selection", "debug_counts"))
 def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                                 sub_counts, grp_bounds, top_bounds,
                                 top_ranges, root_bound, ref_pts,
@@ -705,7 +765,8 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                                 block_rows=16, interpret=False,
                                 sph_clusters=None, top_order=None,
                                 top_keys=None, node_exit=True,
-                                gated_tris=False, ray_regroup_bounces=0,
+                                gated_tris=False, super_selection=None,
+                                ray_regroup_bounces=0,
                                 regroup_granularity=16,
                                 tile_row_offset=0, tile_row_stride=1,
                                 shard_tile_rows=None, bounce_caps=None,
@@ -750,11 +811,28 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     else:
         sphc_b, sphc_r = sph_clusters
 
+    # supertop tables: union AABBs of SUPER consecutive DFS tops (DFS
+    # neighbors are spatially coherent), padded to a full SUPER multiple
+    # with empty boxes (lo > hi always misses) so the in-kernel child
+    # unroll needs no bounds check
+    n_super = -(-n_tops // SUPER)
+    pad = n_super * SUPER - n_tops
+    top_aabb_p = jnp.pad(top_aabb, ((0, 0), (0, pad)), mode="constant")
+    if pad:
+        fix = jnp.concatenate(
+            [jnp.zeros((6, n_tops), top_aabb.dtype),
+             jnp.tile(jnp.asarray([[1.], [1.], [1.], [-1.], [-1.], [-1.]],
+                                  top_aabb.dtype), (1, pad))], axis=1)
+        top_aabb_p = top_aabb_p + fix
+    sup_lo = top_aabb_p[0:3].reshape(3, n_super, SUPER).min(axis=2)
+    sup_hi = top_aabb_p[3:6].reshape(3, n_super, SUPER).max(axis=2)
+    super_aabb = jnp.concatenate([sup_lo, sup_hi], axis=0)
+
     tables = (sph_table, sphc_b, sphc_r, sub_bounds, sub_counts,
               grp_bounds, top_bounds, top_ranges, top_order, top_keys,
               cam_run_bounds, ref_pts, node_orders, node_keys,
               node_run_bounds, root_bound, key_lo, key_hi, sub_aabb,
-              grp_aabb, top_aabb, tri_hbm)
+              grp_aabb, top_aabb, super_aabb, top_aabb_p, tri_hbm)
     seed_word = jnp.uint32(seed) * _SEED_MIX
 
     ty_off = jnp.asarray(tile_row_offset, jnp.int32).astype(jnp.uint32)
@@ -767,7 +845,8 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
                   block_rows=block_rows, node_exit=node_exit, tw=tw,
                   th=th, ntx=ntx, interpret=interpret,
                   tile_row_stride=tile_row_stride,
-                  gated_tris=gated_tris)
+                  gated_tris=gated_tris,
+                  super_selection=super_selection)
 
     counts = []
     out = _pass_call(tables, cam_vec, seedb(0), rows_total, primary=True,

@@ -113,6 +113,18 @@ class TestBinnedRenderer:
         assert np.array_equal(np.asarray(a), np.asarray(b))
         assert float(sa) == float(sb)
 
+    def test_super_selection_bitwise_invariant(self, mesh_world,
+                                               binned_tables):
+        # the two-level supertop next-top scan must produce the same keys
+        # as the flat per-top scan: grouping is a pure optimization, so
+        # the assembled image (and the per-bounce alive counts, which
+        # depend on grouping only through nothing) are bitwise equal
+        scene, cam = mesh_world
+        a = self._binned(scene, cam, binned_tables, super_selection=False)
+        b = self._binned(scene, cam, binned_tables, super_selection=True)
+        assert (np.asarray(a[0]) == np.asarray(b[0])).all()
+        assert int(a[1]) == int(b[1])
+
     def test_node_exit_is_pure_optimization(self, mesh_world,
                                             binned_tables):
         scene, cam = mesh_world
