@@ -195,6 +195,29 @@ def bench_all():
         "value": paths / dt, "unit": "paths/s",
         "vs_baseline": paths / dt / 1e6})
 
+    # gradient pass on the 164k-tri mesh (VERDICT r5 item 3): the packed
+    # tables are ~14x the SMEM budget, so the differentiable kernels
+    # stream leaf-aligned triangle slots from HBM (ops.diff
+    # tri_stream_table_jnp + wavefront._streamed_tri_walk).  XLA AD has
+    # NO path at any size here (43 GB residuals at 256^2).
+    bspp, bd = 4, 4
+    bgt, _ = ops_mod.render_linear_fast(
+        bscene, bcam, width=W, height=H, samples_per_pixel=bspp,
+        depth=bd, seed=0)
+    bloss = gradmod.make_loss_fn(bscene, bcam, bgt, width=W, height=H,
+                                 samples_per_pixel=bspp, depth=bd, seed=1,
+                                 parity_plane_sign=False, engine="pallas")
+    bparams = gradmod.extract_params(bscene, ["tri_v0"])
+    bvg = jax.jit(jax.value_and_grad(bloss))
+    def run_bg(_):
+        return bvg(bparams)
+    dt, _ = _time_best(run_bg, n=2, k=2)
+    bpaths = W * H * bspp
+    results.append({
+        "metric": f"grad_pass_mesh163840tri_paths_per_sec_{W}x{H}_{bspp}spp",
+        "value": bpaths / dt, "unit": "paths/s",
+        "vs_baseline": bpaths / dt / 1e6})
+
     # certify every capped binned frame rendered above was exact
     assert ops_mod.flush_binned_overflow_checks() == 0, \
         "binned bounce-cap overflow: rerun (caps auto-invalidate)"

@@ -53,13 +53,21 @@ def make_loss_fn(scene: Scene, camera: Camera, target_linear, *,
     (render_linear_diff_sharded) — kernel-speed forward AND backward per
     device with automatic gradient psum.
     """
+    from ..ops import diff as diff_mod
     if engine == "auto":
         from .. import ops as ops_mod
-        engine = "pallas" if ops_mod.can_use_pallas(scene) else "xla"
+        # scenes past the SMEM budget still ride the kernels via the
+        # HBM-streamed differentiable triangle layout (corrected plane
+        # equation only — the 164k config gets a gradient path)
+        engine = ("pallas" if ops_mod.can_use_pallas(scene)
+                  or (ops_mod.backend_is_tpu()
+                      and diff_mod.bwd_kernel_eligible(
+                          scene, parity_plane_sign))
+                  else "xla")
 
-    from ..ops import diff as diff_mod
     bwd_engine = ("pallas" if engine == "pallas"
-                  and diff_mod.bwd_kernel_eligible(scene) else "xla")
+                  and diff_mod.bwd_kernel_eligible(scene, parity_plane_sign)
+                  else "xla")
     # static cluster topology for the kernel fwd/bwd (bounds recomputed
     # traceably from live vertices every call — sound under optimization);
     # only valid with the corrected plane equation

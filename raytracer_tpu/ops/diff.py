@@ -131,10 +131,18 @@ class TriCull:
 _CULL_CACHE: dict = {}
 
 
-def build_tri_cull(scene: Scene, leaf_target: int = 64):
+def build_tri_cull(scene: Scene, leaf_target: int | None = None):
     """Host-side static cull topology for ``scene`` (cached on identity);
-    None when the scene has too few triangles to benefit."""
+    None when the scene has too few triangles to benefit.
+
+    Default leaf size: 64 for scenes whose packed tables fit SMEM; 128
+    (one full stream slot, ``wavefront.STREAM_LEAF_PAD``) for scenes the
+    differentiable kernels must stream from HBM."""
     import weakref
+    if leaf_target is None:
+        from . import pallas_table_bytes, PALLAS_SMEM_BUDGET_BYTES
+        leaf_target = (128 if pallas_table_bytes(scene)
+                       > PALLAS_SMEM_BUDGET_BYTES else 64)
     key = id(scene)
     hit = _CULL_CACHE.get(key)
     if hit is not None and hit[0]() is scene:
@@ -194,6 +202,81 @@ def tri_cluster_bounds_jnp(scene: Scene, cull: TriCull) -> jax.Array:
     return jnp.concatenate([lo_p.T, hi_p.T]).astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# HBM-streamed differentiable triangle tables (VERDICT r5 item 3): scenes
+# beyond the SMEM budget keep kernel fwd+bwd by placing the packed table in
+# HBM, leaf-aligned to 128-column slots DMA'd on demand.  The layout is
+# STATIC (from the cull topology); the VALUES are traceable, so gradients
+# flow exactly as in the SMEM path.
+# ---------------------------------------------------------------------------
+
+_STREAM_COLMAP_CACHE: dict = {}
+
+
+def _stream_colmap(cull: "TriCull") -> "np.ndarray":
+    """Static (C * STREAM_LEAF_PAD,) map: aligned column -> packed column
+    (or -1 for the zero padding of partially filled slots)."""
+    key = id(cull)
+    hit = _STREAM_COLMAP_CACHE.get(key)
+    if hit is not None and hit[0] is cull:
+        return hit[1]
+    P = wf.STREAM_LEAF_PAD
+    C = cull.ranges.shape[1]
+    colmap = np.full(C * P, -1, np.int64)
+    for k in range(C):
+        s, e = int(cull.ranges[0, k]), int(cull.ranges[1, k])
+        assert e - s <= P, "cull leaf exceeds the stream slot width"
+        colmap[k * P:k * P + (e - s)] = np.arange(s, e)
+    if len(_STREAM_COLMAP_CACHE) > 16:
+        _STREAM_COLMAP_CACHE.clear()
+    _STREAM_COLMAP_CACHE[key] = (cull, colmap)
+    return colmap
+
+
+def tri_stream_table_jnp(scene: Scene, cull: "TriCull") -> jax.Array:
+    """Traceable leaf-aligned packed table (STREAM_ROWS_PAD, C * 128):
+    leaf k's triangles occupy slot columns [128k, 128k + n); pad columns
+    are all-zero (plane normal 0 -> parallel -> never hit, the same
+    convention as the sorted engine's padded sub-leaves)."""
+    packed = pack_triangles_jnp(scene, perm=cull.perm)       # (21, T)
+    colmap = _stream_colmap(cull)
+    src = jnp.asarray(np.maximum(colmap, 0))
+    mask = jnp.asarray((colmap >= 0).astype(np.float32))
+    vals = packed[:, src] * mask[None, :]
+    pad_rows = wf.STREAM_ROWS_PAD - vals.shape[0]
+    return jnp.concatenate(
+        [vals, jnp.zeros((pad_rows, vals.shape[1]), vals.dtype)])
+
+
+def tri_stream_tops(cull: "TriCull", tric_b: jax.Array, group: int = 16):
+    """Top level over cull leaves: static ranges of ``group`` consecutive
+    DFS leaves + traceable union AABBs from the live leaf bounds
+    (conservative under empty-leaf sentinels: min/max against lo=+1 /
+    hi=-1 only enlarges a nonempty union)."""
+    C = cull.ranges.shape[1]
+    Ct = -(-C // group)
+    ranges = np.stack([np.arange(Ct, dtype=np.int32) * group,
+                       np.minimum(np.arange(1, Ct + 1, dtype=np.int32)
+                                  * group, C)])
+    pad = Ct * group - C
+    b = jnp.pad(tric_b, ((0, 0), (0, pad)))
+    if pad:
+        fix = jnp.concatenate(
+            [jnp.zeros((6, C), tric_b.dtype),
+             jnp.tile(jnp.asarray([[1.], [1.], [1.], [-1.], [-1.], [-1.]],
+                                  tric_b.dtype), (1, pad))], axis=1)
+        b = b + fix
+    lo = b[0:3].reshape(3, Ct, group).min(axis=2)
+    hi = b[3:6].reshape(3, Ct, group).max(axis=2)
+    return (jnp.concatenate([lo, hi], axis=0),
+            jnp.asarray(ranges))
+
+
+def _needs_stream(scene: Scene) -> bool:
+    from . import pallas_table_bytes, PALLAS_SMEM_BUDGET_BYTES
+    return pallas_table_bytes(scene) > PALLAS_SMEM_BUDGET_BYTES
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def render_linear_diff(scene: Scene, camera: Camera, statics,
                        row_offset=0, row_stride=1):
@@ -226,13 +309,27 @@ def _pallas_forward(scene, camera, statics, row_offset, row_stride):
     shard_rows = statics[8] if len(statics) > 8 else None
     cull = _statics_cull(statics, pps)
     sph = pack_spheres_jnp(scene)
+    cv = wf.camera_vec(camera)
+    if cull is not None and _needs_stream(scene):
+        tri = tri_stream_table_jnp(scene, cull)
+        tric_b = tri_cluster_bounds_jnp(scene, cull)
+        trit_b, trit_r = tri_stream_tops(cull, tric_b)
+        mean, _segs = wf.render_linear_pallas(
+            sph, tri, cv, width=width, height=height,
+            samples_per_pixel=spp, depth=depth, seed=seed,
+            parity_plane_sign=pps, interpret=interpret,
+            tri_clusters=(tric_b, jnp.asarray(cull.ranges)),
+            tri_stream=(trit_b, trit_r),
+            stream_tops=int(trit_r.shape[1]),
+            shard_rows=shard_rows, row_offset=row_offset,
+            row_stride=row_stride)
+        return mean
     tri = pack_triangles_jnp(scene,
                              perm=None if cull is None else cull.perm)
     tri_cl = None
     if cull is not None:
         tri_cl = (tri_cluster_bounds_jnp(scene, cull),
                   jnp.asarray(cull.ranges))
-    cv = wf.camera_vec(camera)
     mean, _segs = wf.render_linear_pallas(
         sph, tri, cv, width=width, height=height, samples_per_pixel=spp,
         depth=depth, seed=seed, parity_plane_sign=pps, interpret=interpret,
@@ -241,14 +338,20 @@ def _pallas_forward(scene, camera, statics, row_offset, row_stride):
     return mean
 
 
-def bwd_kernel_eligible(scene: Scene) -> bool:
+def bwd_kernel_eligible(scene: Scene,
+                        parity_plane_sign: bool | None = None) -> bool:
     """True if the hand-derived backward kernel covers this (concrete)
-    scene.  Round 3 lifted the old sphere-only / S<=64 gates: the kernel
-    streams per-lane winner gradients to HBM and reduces by scatter-add,
-    so the only limit is the SMEM scene tables (same budget as the forward
-    megakernel — covers the ~10k-tri OBJ inverse-rendering config)."""
+    scene.  Scenes whose packed tables fit SMEM always qualify; bigger
+    scenes qualify through the HBM-streamed triangle layout
+    (``tri_stream_table_jnp``) whenever cluster culling is sound — i.e.
+    the corrected plane equation (``parity_plane_sign=False``).  With
+    ``parity_plane_sign=None`` (legacy) only the SMEM criterion counts."""
     from . import pallas_table_bytes, PALLAS_SMEM_BUDGET_BYTES
-    return pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES
+    if pallas_table_bytes(scene) <= PALLAS_SMEM_BUDGET_BYTES:
+        return True
+    if parity_plane_sign is None or parity_plane_sign:
+        return False
+    return int(np.asarray(scene.tri_valid).sum()) >= 64
 
 
 def _fwd(scene, camera, statics, row_offset=0, row_stride=1):
@@ -282,17 +385,39 @@ def _bwd(statics, residuals, g):
         cull = _statics_cull(statics, pps)
         perm = None if cull is None else cull.perm
         sph = pack_spheres_jnp(scene)
-        tri = pack_triangles_jnp(scene, perm=perm)
-        tri_cl = None
-        if cull is not None:
-            tri_cl = (tri_cluster_bounds_jnp(scene, cull),
-                      jnp.asarray(cull.ranges))
-        dsph, dtri, dcam = wb.render_grad_pallas(
-            sph, tri, g, wf.camera_vec(camera), width=width, height=height,
-            samples_per_pixel=spp, depth=depth, seed=seed,
-            parity_plane_sign=pps, interpret=interpret, tri_clusters=tri_cl,
-            shard_rows=shard_rows, row_offset=row_offset,
-            row_stride=row_stride)
+        if cull is not None and _needs_stream(scene):
+            # barriers pin the stage boundaries: without them XLA fuses
+            # the image cotangent into the winner-gradient reduction and
+            # materializes a (T, npix) intermediate (43 GB at the 164k
+            # scene / 256^2 — observed compile-time OOM)
+            g = jax.lax.optimization_barrier(g)
+            tri = tri_stream_table_jnp(scene, cull)
+            tric_b = tri_cluster_bounds_jnp(scene, cull)
+            trit_b, trit_r = tri_stream_tops(cull, tric_b)
+            dsph, dtri, dcam = wb.render_grad_pallas(
+                sph, tri, g, wf.camera_vec(camera), width=width,
+                height=height, samples_per_pixel=spp, depth=depth,
+                seed=seed, parity_plane_sign=pps, interpret=interpret,
+                tri_clusters=(tric_b, jnp.asarray(cull.ranges)),
+                tri_stream=(trit_b, trit_r),
+                stream_tops=int(trit_r.shape[1]),
+                n_tris_packed=scene.tri_v0.shape[0],
+                shard_rows=shard_rows, row_offset=row_offset,
+                row_stride=row_stride)
+            dsph, dtri, dcam = jax.lax.optimization_barrier(
+                (dsph, dtri, dcam))
+        else:
+            tri = pack_triangles_jnp(scene, perm=perm)
+            tri_cl = None
+            if cull is not None:
+                tri_cl = (tri_cluster_bounds_jnp(scene, cull),
+                          jnp.asarray(cull.ranges))
+            dsph, dtri, dcam = wb.render_grad_pallas(
+                sph, tri, g, wf.camera_vec(camera), width=width,
+                height=height, samples_per_pixel=spp, depth=depth,
+                seed=seed, parity_plane_sign=pps, interpret=interpret,
+                tri_clusters=tri_cl, shard_rows=shard_rows,
+                row_offset=row_offset, row_stride=row_stride)
         M = scene.materials.count
         mat = scene.sphere_mat
         d_color = jnp.zeros((M, 3), jnp.float32).at[mat].add(dsph[4:7].T)

@@ -695,10 +695,60 @@ def _block_pixel_setup(width, height, shard_rows, R, ntx, seed_ref):
             pix_u)
 
 
+# leaf slot width of the STREAMED differentiable triangle layout: each
+# cull leaf occupies one 128-column (lane-aligned, 12 KB) slot of the
+# HBM-resident packed table, DMA'd on demand into SMEM scratch — the
+# differentiable path's lift of the SMEM table budget (ops.diff builds
+# the aligned table traceably so gradients flow; VERDICT r5 item 3)
+STREAM_LEAF_PAD = 128
+# row padding of the HBM table (same rule as wavefront_stream.TRI_ROWS_PAD)
+STREAM_ROWS_PAD = -(-TRI_ROWS // 8) * 8
+
+
+def _streamed_tri_walk(hs, *, tri_hbm, tri_smem, dma_sem, tric_b_ref,
+                       tric_r_ref, trit_b_ref, trit_r_ref, n_tri_tops,
+                       make_body, ox, oy, oz, ivx, ivy, ivz, alive):
+    """Two-level culled triangle closest-hit over an HBM-resident
+    leaf-aligned table: top nodes (groups of consecutive DFS leaves) gate
+    leaf AABB tests; a passing leaf's 128-column slot is DMA'd into SMEM
+    and ground by ``make_body(read, ci)`` (``read`` indexes the scratch
+    locally; ``ci`` lets the body recover global ids via tric_r)."""
+    def cluster_body(ci, hs):
+        t_best = hs[0]
+        possible = _aabb_test(tric_b_ref, ci, ox, oy, oz, ivx, ivy, ivz,
+                              t_best, alive)
+        any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
+        n = jnp.where(any_p > 0.0,
+                      tric_r_ref[1, ci] - tric_r_ref[0, ci], 0)
+
+        @pl.when(any_p > 0.0)
+        def _():
+            dma = pltpu.make_async_copy(
+                tri_hbm.at[:, pl.ds(ci * STREAM_LEAF_PAD,
+                                    STREAM_LEAF_PAD)],
+                tri_smem, dma_sem)
+            dma.start()
+            dma.wait()
+
+        return jax.lax.fori_loop(0, n, make_body(
+            lambda row, i: tri_smem[row, i], ci), hs)
+
+    def top_body(tci, hs):
+        t_best = hs[0]
+        possible = _aabb_test(trit_b_ref, tci, ox, oy, oz, ivx, ivy, ivz,
+                              t_best, alive)
+        any_t = jnp.max(jnp.where(possible, 1.0, 0.0))
+        c0 = jnp.where(any_t > 0.0, trit_r_ref[0, tci], 0)
+        c1 = jnp.where(any_t > 0.0, trit_r_ref[1, tci], 0)
+        return jax.lax.fori_loop(c0, c1, cluster_body, hs)
+
+    return jax.lax.fori_loop(0, n_tri_tops, top_body, hs)
+
+
 def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
                  parity_plane_sign, count_all_lanes,
                  n_sph_clusters=0, n_tri_clusters=0, shard_rows=None,
-                 lowp=False):
+                 lowp=False, tri_stream=False, n_tri_tops=0):
     npix = width * height
     R = block_rows
     if shard_rows is None:
@@ -707,8 +757,14 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
     inv_w1 = np.float32(width - 1)
     inv_h1 = np.float32(height - 1)
 
-    def kernel(cam_ref, sph_ref, sphc_b_ref, sphc_r_ref, tri_ref,
-               tric_b_ref, tric_r_ref, seed_ref, out_ref):
+    def kernel(*refs):
+        if tri_stream:
+            (cam_ref, sph_ref, sphc_b_ref, sphc_r_ref, tric_b_ref,
+             tric_r_ref, trit_b_ref, trit_r_ref, seed_ref, tri_hbm,
+             out_ref, tri_smem, dma_sem) = refs
+        else:
+            (cam_ref, sph_ref, sphc_b_ref, sphc_r_ref, tri_ref,
+             tric_b_ref, tric_r_ref, seed_ref, out_ref) = refs
         # blocks are (R x 128)-pixel IMAGE TILES, not linear pixel ranges:
         # a tile's rays form a tight frustum, which is what makes the
         # cluster bound tests below actually cull (a full-width stripe of
@@ -789,26 +845,43 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
 
                 # ---- triangles (common.rs:124-166 via edge constants) ----
                 if n_tris > 0:
-                    tri_body = _make_tri_body(
-                        lambda row, ti: tri_ref[row, ti], parity_plane_sign,
-                        ox, oy, oz, dx, dy, dz)
-                    if n_tri_clusters > 0:
+                    if tri_stream:
                         ivx, ivy, ivz = _safe_inv_dir(dx, dy, dz)
-
-                        def tri_cluster_body(ci, hs):
-                            t_best = hs[0]
-                            possible = _aabb_test(
-                                tric_b_ref, ci, ox, oy, oz, ivx, ivy, ivz,
-                                t_best, alive)
-                            any_p = jnp.max(jnp.where(possible, 1.0, 0.0))
-                            s0 = jnp.where(any_p > 0.0, tric_r_ref[0, ci], 0)
-                            s1 = jnp.where(any_p > 0.0, tric_r_ref[1, ci], 0)
-                            return jax.lax.fori_loop(s0, s1, tri_body, hs)
-
-                        hs = jax.lax.fori_loop(0, n_tri_clusters,
-                                               tri_cluster_body, hs)
+                        hs = _streamed_tri_walk(
+                            hs, tri_hbm=tri_hbm, tri_smem=tri_smem,
+                            dma_sem=dma_sem, tric_b_ref=tric_b_ref,
+                            tric_r_ref=tric_r_ref, trit_b_ref=trit_b_ref,
+                            trit_r_ref=trit_r_ref, n_tri_tops=n_tri_tops,
+                            make_body=lambda read, ci: _make_tri_body(
+                                read, parity_plane_sign,
+                                ox, oy, oz, dx, dy, dz),
+                            ox=ox, oy=oy, oz=oz, ivx=ivx, ivy=ivy,
+                            ivz=ivz, alive=alive)
                     else:
-                        hs = jax.lax.fori_loop(0, n_tris, tri_body, hs)
+                        tri_body = _make_tri_body(
+                            lambda row, ti: tri_ref[row, ti],
+                            parity_plane_sign, ox, oy, oz, dx, dy, dz)
+                        if n_tri_clusters > 0:
+                            ivx, ivy, ivz = _safe_inv_dir(dx, dy, dz)
+
+                            def tri_cluster_body(ci, hs):
+                                t_best = hs[0]
+                                possible = _aabb_test(
+                                    tric_b_ref, ci, ox, oy, oz, ivx, ivy,
+                                    ivz, t_best, alive)
+                                any_p = jnp.max(
+                                    jnp.where(possible, 1.0, 0.0))
+                                s0 = jnp.where(any_p > 0.0,
+                                               tric_r_ref[0, ci], 0)
+                                s1 = jnp.where(any_p > 0.0,
+                                               tric_r_ref[1, ci], 0)
+                                return jax.lax.fori_loop(s0, s1, tri_body,
+                                                         hs)
+
+                            hs = jax.lax.fori_loop(0, n_tri_clusters,
+                                                   tri_cluster_body, hs)
+                        else:
+                            hs = jax.lax.fori_loop(0, n_tris, tri_body, hs)
                     hs = _resolve_tri_normals(hs)
                     t_best = hs[0]
                     hpx = ox + t_best * dx
@@ -845,13 +918,14 @@ def _make_kernel(width, height, spp, depth, n_spheres, n_tris, block_rows,
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
                      "block_rows", "parity_plane_sign", "count_all_lanes",
-                     "interpret", "shard_rows", "lowp"))
+                     "interpret", "shard_rows", "lowp", "stream_tops"))
 def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
                          samples_per_pixel, depth, seed=0, block_rows=32,
                          parity_plane_sign=True, count_all_lanes=False,
                          interpret=False, sph_clusters=None,
                          tri_clusters=None, shard_rows=None, row_offset=0,
-                         row_stride=1, lowp=False):
+                         row_stride=1, lowp=False, tri_stream=None,
+                         stream_tops=0):
     """Mean linear radiance [rows, W, 3] + segment count, fused kernel.
 
     sph_table: (SPH_ROWS, S) from pack_spheres; tri_table: (TRI_ROWS, T)
@@ -911,29 +985,58 @@ def render_linear_pallas(sph_table, tri_table, cam_vec, *, width, height,
     kernel = _make_kernel(width, height, samples_per_pixel, depth,
                           n_spheres, n_tris, block_rows, parity_plane_sign,
                           count_all_lanes, n_sph_clusters, n_tri_clusters,
-                          shard_rows=shard_rows, lowp=lowp)
+                          shard_rows=shard_rows, lowp=lowp,
+                          tri_stream=stream_tops > 0,
+                          n_tri_tops=stream_tops)
 
     seed_arr = jnp.stack([
         jnp.uint32(seed) * _SEED_MIX,
         jnp.asarray(row_offset, jnp.int32).astype(jnp.uint32),
         jnp.asarray(row_stride, jnp.int32).astype(jnp.uint32)])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
-        grid=(nblocks,),
-        in_specs=[],
-        out_specs=pl.BlockSpec((4, block_rows, LANES),
-                               lambda i, *prefetch: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-
-    img = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, rows_total, LANES), jnp.float32),
-        interpret=interpret,
-    )(cam_vec, sph_table, sphc_b, sphc_r, tri_table, tric_b, tric_r,
-      seed_arr)
+    if stream_tops > 0:
+        # streamed triangles: tri_table is the leaf-aligned HBM-resident
+        # table (ops.diff.tri_stream_table_jnp), tri_clusters the leaf
+        # AABBs + packed ranges, tri_stream the top-level (bounds, ranges)
+        trit_b, trit_r = tri_stream
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=9,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((4, block_rows, LANES),
+                                   lambda i, *prefetch: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.SMEM((STREAM_ROWS_PAD, STREAM_LEAF_PAD),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        img = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((4, rows_total, LANES),
+                                           jnp.float32),
+            interpret=interpret,
+        )(cam_vec, sph_table, sphc_b, sphc_r, tric_b, tric_r,
+          trit_b, trit_r, seed_arr, tri_table)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=(nblocks,),
+            in_specs=[],
+            out_specs=pl.BlockSpec((4, block_rows, LANES),
+                                   lambda i, *prefetch: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        img = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((4, rows_total, LANES),
+                                           jnp.float32),
+            interpret=interpret,
+        )(cam_vec, sph_table, sphc_b, sphc_r, tri_table, tric_b, tric_r,
+          seed_arr)
 
     # un-tile: blocks are (block_rows x LANES) image tiles in row-major
     # (ty, tx) order

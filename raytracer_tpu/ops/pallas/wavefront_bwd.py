@@ -56,6 +56,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import wavefront as wf_mod
 from .wavefront import (LANES, T_MIN, BIG, SPH_ROWS, TRI_ROWS, _SEED_MIX,
                         _pcg3d, _u01, _aabb_test, _safe_inv_dir,
                         _SPH_CX, _SPH_CY, _SPH_CZ, _SPH_R, _SPH_R2,
@@ -87,7 +88,7 @@ MAX_BWD_SPHERES = 22_000
 
 def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
                      block_rows, parity_plane_sign, shard_rows=None,
-                     n_tri_clusters=0):
+                     n_tri_clusters=0, tri_stream=False, n_tri_tops=0):
     R = block_rows
     ntx = pl.cdiv(width, LANES)
     nty = pl.cdiv(shard_rows if shard_rows is not None else height,
@@ -99,8 +100,14 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
         shard_rows = height
     S = n_spheres
 
-    def kernel(cam_ref, sph_ref, tri_ref, tric_b_ref, tric_r_ref,
-               seed_ref, g_ref, grad_ref, dcam_ref, res_ref):
+    def kernel(*refs):
+        if tri_stream:
+            (cam_ref, sph_ref, tric_b_ref, tric_r_ref, trit_b_ref,
+             trit_r_ref, seed_ref, g_ref, tri_hbm, grad_ref, dcam_ref,
+             res_ref, tri_smem, dma_sem) = refs
+        else:
+            (cam_ref, sph_ref, tri_ref, tric_b_ref, tric_r_ref,
+             seed_ref, g_ref, grad_ref, dcam_ref, res_ref) = refs
         s = pl.program_id(0)
         blk = pl.program_id(1)
         ty = blk // ntx
@@ -218,55 +225,77 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
                 (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab, fz,
                  irx))
 
-            def tri_body(ti, hs):
-                # mirror of wavefront._make_tri_body, tracking the winner
-                # id + plane-normal residuals instead of only attrs
-                (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab, fz,
-                 irx) = hs
-                tnx = tri_ref[_TRI_NX, ti]
-                tny = tri_ref[_TRI_NY, ti]
-                tnz = tri_ref[_TRI_NZ, ti]
-                td = tri_ref[_TRI_D, ti]
-                nd = tnx * dx + tny * dy + tnz * dz
-                no = tnx * ox + tny * oy + tnz * oz
-                par = jnp.abs(nd) < 1e-8
-                nd_safe = jnp.where(par, 1.0, nd)
-                if parity_plane_sign:
-                    t = (no + td) / nd_safe
-                else:
-                    t = (td - no) / nd_safe
-                ok = (~par) & (t >= T_MIN)
-                for g_row, w_row in ((4, 7), (8, 11), (12, 15)):
-                    gx = tri_ref[g_row, ti]
-                    gy = tri_ref[g_row + 1, ti]
-                    gz = tri_ref[g_row + 2, ti]
-                    e = (ox * gx + oy * gy + oz * gz
-                         + t * (dx * gx + dy * gy + dz * gz)
-                         - tri_ref[w_row, ti])
-                    ok &= e >= 0.0
-                better = ok & (t <= t_best)   # triangle wins ties
-                t_best = jnp.where(better, t, t_best)
-                win = jnp.where(better, jnp.float32(S) + ti.astype(
-                    jnp.float32), win)
-                nxc = jnp.where(better, tnx, nxc)
-                nyc = jnp.where(better, tny, nyc)
-                nzc = jnp.where(better, tnz, nzc)
-                rr_ = jnp.where(better, td, rr_)
-                tkind = tri_ref[_TRI_KIND, ti]
-                textra = tri_ref[_TRI_EXTRA, ti]
-                kind = jnp.where(better, tkind, kind)
-                ar = jnp.where(better, tri_ref[_TRI_AR, ti], ar)
-                ag = jnp.where(better, tri_ref[_TRI_AG, ti], ag)
-                ab = jnp.where(better, tri_ref[_TRI_AB, ti], ab)
-                t_met = (tkind >= 0.5) & (tkind < 1.5)
-                t_die = (tkind >= 1.5) & (tkind < 2.5)
-                fz = jnp.where(better, jnp.where(t_met, textra, 0.0), fz)
-                irx = jnp.where(better, jnp.where(t_die, textra, 1.0), irx)
-                return (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab,
-                        fz, irx)
+            def make_tri_body(read, base):
+                def tri_body(ti, hs):
+                    # mirror of wavefront._make_tri_body, tracking the
+                    # winner id + plane-normal residuals instead of only
+                    # attrs.  ``read(row, i)`` indexes the SMEM table
+                    # (global) or a DMA'd leaf slot (local); ``base``
+                    # recovers the global PACKED column for the winner id
+                    (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab,
+                     fz, irx) = hs
+                    tnx = read(_TRI_NX, ti)
+                    tny = read(_TRI_NY, ti)
+                    tnz = read(_TRI_NZ, ti)
+                    td = read(_TRI_D, ti)
+                    nd = tnx * dx + tny * dy + tnz * dz
+                    no = tnx * ox + tny * oy + tnz * oz
+                    par = jnp.abs(nd) < 1e-8
+                    nd_safe = jnp.where(par, 1.0, nd)
+                    if parity_plane_sign:
+                        t = (no + td) / nd_safe
+                    else:
+                        t = (td - no) / nd_safe
+                    ok = (~par) & (t >= T_MIN)
+                    for g_row, w_row in ((4, 7), (8, 11), (12, 15)):
+                        gx = read(g_row, ti)
+                        gy = read(g_row + 1, ti)
+                        gz = read(g_row + 2, ti)
+                        e = (ox * gx + oy * gy + oz * gz
+                             + t * (dx * gx + dy * gy + dz * gz)
+                             - read(w_row, ti))
+                        ok &= e >= 0.0
+                    better = ok & (t <= t_best)   # triangle wins ties
+                    t_best = jnp.where(better, t, t_best)
+                    win = jnp.where(
+                        better,
+                        jnp.float32(S) + (base + ti).astype(jnp.float32),
+                        win)
+                    nxc = jnp.where(better, tnx, nxc)
+                    nyc = jnp.where(better, tny, nyc)
+                    nzc = jnp.where(better, tnz, nzc)
+                    rr_ = jnp.where(better, td, rr_)
+                    tkind = read(_TRI_KIND, ti)
+                    textra = read(_TRI_EXTRA, ti)
+                    kind = jnp.where(better, tkind, kind)
+                    ar = jnp.where(better, read(_TRI_AR, ti), ar)
+                    ag = jnp.where(better, read(_TRI_AG, ti), ag)
+                    ab = jnp.where(better, read(_TRI_AB, ti), ab)
+                    t_met = (tkind >= 0.5) & (tkind < 1.5)
+                    t_die = (tkind >= 1.5) & (tkind < 2.5)
+                    fz = jnp.where(better,
+                                   jnp.where(t_met, textra, 0.0), fz)
+                    irx = jnp.where(better,
+                                    jnp.where(t_die, textra, 1.0), irx)
+                    return (t_best, win, nxc, nyc, nzc, rr_, kind, ar,
+                            ag, ab, fz, irx)
+                return tri_body
 
-            if n_tris > 0 and n_tri_clusters > 0:
+            if n_tris > 0 and tri_stream:
                 ivx, ivy, ivz = _safe_inv_dir(dx, dy, dz)
+                hs = wf_mod._streamed_tri_walk(
+                    hs, tri_hbm=tri_hbm, tri_smem=tri_smem,
+                    dma_sem=dma_sem, tric_b_ref=tric_b_ref,
+                    tric_r_ref=tric_r_ref, trit_b_ref=trit_b_ref,
+                    trit_r_ref=trit_r_ref, n_tri_tops=n_tri_tops,
+                    make_body=lambda read, ci: make_tri_body(
+                        read, tric_r_ref[0, ci]),
+                    ox=ox, oy=oy, oz=oz, ivx=ivx, ivy=ivy, ivz=ivz,
+                    alive=alive)
+            elif n_tris > 0 and n_tri_clusters > 0:
+                ivx, ivy, ivz = _safe_inv_dir(dx, dy, dz)
+                tri_body = make_tri_body(
+                    lambda row, ti: tri_ref[row, ti], 0)
 
                 def tri_cluster_body(ci, hs):
                     t_best = hs[0]
@@ -280,7 +309,10 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
                 hs = jax.lax.fori_loop(0, n_tri_clusters,
                                        tri_cluster_body, hs)
             elif n_tris > 0:
-                hs = jax.lax.fori_loop(0, n_tris, tri_body, hs)
+                hs = jax.lax.fori_loop(
+                    0, n_tris,
+                    make_tri_body(lambda row, ti: tri_ref[row, ti], 0),
+                    hs)
             (t_best, win, nxc, nyc, nzc, rr_, kind, ar, ag, ab, fz,
              irx) = hs
 
@@ -816,12 +848,13 @@ def _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
                      "block_rows", "parity_plane_sign", "interpret",
-                     "shard_rows"))
+                     "shard_rows", "stream_tops", "n_tris_packed"))
 def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
                        height, samples_per_pixel, depth, seed=0,
                        block_rows=32, parity_plane_sign=True,
                        interpret=False, tri_clusters=None,
-                       shard_rows=None, row_offset=0, row_stride=1):
+                       shard_rows=None, row_offset=0, row_stride=1,
+                       tri_stream=None, stream_tops=0, n_tris_packed=None):
     """Backward pass of the fused renderer.
 
     g_image: [rows, W, 3] cotangent of the mean linear radiance (rows =
@@ -829,7 +862,14 @@ def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
     albedo rgb, fuzz, ir — dtri (TRI_ROWS, T) f32 — the cotangent of the
     PACKED triangle table, chain through pack_triangles_jnp's VJP for
     vertex/material gradients — and dcam (12,) matching camera_vec).
-    """
+
+    Streamed triangles (``stream_tops > 0``): ``tri_table`` is the
+    leaf-aligned HBM table (ops.diff.tri_stream_table_jnp),
+    ``tri_clusters`` the (6, C) leaf AABBs + (2, C) PACKED ranges,
+    ``tri_stream`` the top-level (bounds, ranges), and
+    ``n_tris_packed`` the packed column count T — the SMEM budget no
+    longer limits the scene (VERDICT r5 item 3: the 164k config gets a
+    gradient path)."""
     if shard_rows is None:
         shard_rows = height
     spp = samples_per_pixel
@@ -838,7 +878,8 @@ def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
     nblocks = ntx * nty
     rows_total = nty * block_rows
     n_spheres = sph_table.shape[1]
-    n_tris = tri_table.shape[1]
+    n_tris = n_tris_packed if n_tris_packed is not None \
+        else tri_table.shape[1]
 
     # tile the cotangent into the kernel's (3, rows_total, LANES) layout —
     # the inverse of the forward un-tiling
@@ -862,44 +903,70 @@ def render_grad_pallas(sph_table, tri_table, g_image, cam_vec, *, width,
     kernel = _make_bwd_kernel(width, height, spp, depth, n_spheres, n_tris,
                               block_rows, parity_plane_sign,
                               shard_rows=shard_rows,
-                              n_tri_clusters=n_tri_clusters)
+                              n_tri_clusters=n_tri_clusters,
+                              tri_stream=stream_tops > 0,
+                              n_tri_tops=stream_tops)
 
     seed_arr = jnp.stack([
         jnp.uint32(seed) * _SEED_MIX,
         jnp.asarray(row_offset, jnp.int32).astype(jnp.uint32),
         jnp.asarray(row_stride, jnp.int32).astype(jnp.uint32)])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(spp, nblocks),
-        in_specs=[
-            pl.BlockSpec((3, block_rows, LANES),
-                         lambda s, i, *prefetch: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, depth * GRAD_PLANES, block_rows, LANES),
-                         lambda s, i, *prefetch: (s * nblocks + i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12), lambda s, i, *prefetch: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((depth, _RES_PLANES, block_rows, LANES), jnp.float32),
-        ],
-    )
-
-    slab, dcam = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (spp * nblocks, depth * GRAD_PLANES, block_rows, LANES),
-                jnp.float32),
-            jax.ShapeDtypeStruct((1, 12), jnp.float32),
-        ],
-        interpret=interpret,
-    )(cam_vec, sph_table, tri_table, tric_b, tric_r, seed_arr, g)
+    out_specs = [
+        pl.BlockSpec((1, depth * GRAD_PLANES, block_rows, LANES),
+                     lambda s, i, *prefetch: (s * nblocks + i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 12), lambda s, i, *prefetch: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(
+            (spp * nblocks, depth * GRAD_PLANES, block_rows, LANES),
+            jnp.float32),
+        jax.ShapeDtypeStruct((1, 12), jnp.float32),
+    ]
+    g_spec = pl.BlockSpec((3, block_rows, LANES),
+                          lambda s, i, *prefetch: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    if stream_tops > 0:
+        trit_b, trit_r = tri_stream
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(spp, nblocks),
+            in_specs=[g_spec, pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((depth, _RES_PLANES, block_rows, LANES),
+                           jnp.float32),
+                pltpu.SMEM((wf_mod.STREAM_ROWS_PAD,
+                            wf_mod.STREAM_LEAF_PAD), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        slab, dcam = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(cam_vec, sph_table, tric_b, tric_r, trit_b, trit_r, seed_arr,
+          g, tri_table)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(spp, nblocks),
+            in_specs=[g_spec],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((depth, _RES_PLANES, block_rows, LANES),
+                           jnp.float32),
+            ],
+        )
+        slab, dcam = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(cam_vec, sph_table, tri_table, tric_b, tric_r, seed_arr, g)
 
     # ---- per-primitive reduction: sort + segmented scan + gather ---------
     # A plain ``.at[w].add`` scatter is a trap at mesh scale: XLA's TPU

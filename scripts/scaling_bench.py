@@ -133,6 +133,88 @@ def band_mode():
     return results
 
 
+def binned_band_mode():
+    """Binned-engine tile-row scaling on the mesh scenes (VERDICT r5
+    item 7): per-device program = render_linear_pallas_binned over the
+    interleaved tile-row subset, exactly what _sharded_binned_fn runs per
+    shard (uncapped, as the sharded path is).  Reports efficiency,
+    segment load balance across interleaved tile rows, and the same
+    additivity check as the sphere rows."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    import raytracer_tpu as rt
+    from raytracer_tpu import ops as ops_mod
+    from raytracer_tpu.ops.pallas import wavefront as wf
+    from raytracer_tpu.ops.pallas import wavefront_binned as wbn
+    from raytracer_tpu.ops.pallas.wavefront_stream import sorted_top_order
+    from raytracer_tpu.parallel.mesh import pad_to_multiple
+    from raytracer_tpu.models.builders import icosphere_mesh
+    from raytracer_tpu.scene import DIFFUSE, METAL, build_materials, \
+        build_scene
+
+    btris = (icosphere_mesh((-0.6, 0.0, -1.4), 0.45, 0, 6)
+             + icosphere_mesh((0.6, 0.0, -1.2), 0.45, 2, 6))
+    bmats = build_materials([(DIFFUSE, (0.7, 0.3, 0.3), 0.0, 1.0),
+                             (DIFFUSE, (0.8, 0.8, 0.0), 0.0, 1.0),
+                             (METAL, (0.85, 0.85, 0.9), 0.05, 1.0)])
+    big = build_scene([((0.0, -100.5, -1.0), 100.0, 1)], btris, bmats,
+                      exact_planes=True)
+    bcam = rt.Camera.new_at((0.0, 0.0, 0.0), 1.77778)
+    obj_scene, obj_cam = rt.models.obj_mesh_scene()
+
+    results = []
+    for cfg_name, scene, cam, depth in (
+            ("obj10240", obj_scene, obj_cam, 4),
+            ("mesh163840", big, bcam, 4)):
+        (sph, sph_cl, *sorted_t) = ops_mod.scene_sorted_tables(scene)
+        cv = wf.camera_vec(cam)
+        order, keys = sorted_top_order(np.asarray(sorted_t[4]),
+                                       np.asarray(cam.origin))
+        n_tris = int(np.sum(np.asarray(scene.tri_valid)))
+        br = 32 if n_tris < 4096 else 16
+        w = h = 512
+        spp = 4
+        _, th, _, nty, _ = wbn.tile_geometry(w, h, spp, br)
+
+        def render_band(ty0, stride, shard_nty, seed, depth=depth):
+            return wbn.render_linear_pallas_binned(
+                sph, *sorted_t, cv, width=w, height=h,
+                samples_per_pixel=spp, depth=depth, seed=seed,
+                sph_clusters=sph_cl, block_rows=br,
+                ray_regroup_bounces=depth - 1,
+                top_order=jnp.asarray(order), top_keys=jnp.asarray(keys),
+                tile_row_offset=ty0, tile_row_stride=stride,
+                shard_tile_rows=shard_nty)
+
+        t_full, (_, segs_full) = _best(
+            lambda s: render_band(0, 1, None, s))
+        results.append({
+            "metric": f"binned_{cfg_name}_1dev", "config": cfg_name,
+            "devices": 1, "value": int(segs_full) / t_full,
+            "unit": "rays/s", "efficiency": 1.0, "t_full_s": t_full,
+        })
+        for n in (2, 4, 8):
+            nty_per = pad_to_multiple(nty, n) // n
+            band_ts, band_segs = [], []
+            for i in range(n):
+                dt, (_, s) = _best(
+                    lambda sd, i=i: render_band(i, n, nty_per, sd))
+                band_ts.append(dt)
+                band_segs.append(int(s))
+            eff = t_full / (n * max(band_ts))
+            results.append({
+                "metric": f"binned_{cfg_name}_{n}dev_interleaved",
+                "config": cfg_name, "devices": n,
+                "value": sum(band_segs) / max(band_ts), "unit": "rays/s",
+                "efficiency": eff, "assignment": "interleaved",
+                "max_band_s": max(band_ts), "min_band_s": min(band_ts),
+                "load_balance": (sum(band_segs) / n) / max(band_segs),
+                "additivity_ratio": sum(band_ts) / t_full / 1.0,
+            })
+    return results
+
+
 def cpu_mode():
     """8-virtual-device validation: bitwise gather + work balance."""
     import jax
@@ -291,6 +373,21 @@ def main() -> int:
         out = [row]
     elif mode == "band":
         out = band_mode()
+    elif mode == "binned":
+        out = binned_band_mode()
+        doc = json.loads((REPO / "SCALING.json").read_text())
+        doc["binned_band_scaling"] = out
+        doc["binned_note"] = (
+            "binned engine (triangle scenes) sharded by interleaved TILE "
+            "ROWS (th-pixel-tall rows of tiles; regroups stay device-"
+            "local, the only collective is the segment psum).  Same "
+            "model as band_scaling: efficiency(n) = T_full / "
+            "(n * max_band_time) on one real chip; additivity_ratio = "
+            "sum(band_i) / T_full validates bands account for the whole "
+            "frame.  Bands run uncapped, matching the sharded path.")
+        (REPO / "SCALING.json").write_text(json.dumps(doc, indent=1) + "\n")
+        print(f"appended binned rows to {REPO / 'SCALING.json'}",
+              file=sys.stderr)
     elif mode == "write":
         import jax
         if jax.default_backend() != "tpu":

@@ -371,6 +371,37 @@ class TestBackwardKernel:
             scale = max(np.abs(a).max(), 1e-8)
             assert np.abs(a - b).max() <= 5e-3 * scale + 1e-7, k
 
+    def test_streamed_kernel_grads_match_xla_ad(self, monkeypatch):
+        # VERDICT r5 item 3: beyond-SMEM scenes keep kernel fwd+bwd via
+        # the HBM-streamed leaf-aligned triangle layout.  Force the
+        # streamed path on a small mesh (the layout is size-agnostic) and
+        # check value+grads against XLA AD.
+        scene, cam = rt.models.mesh_scene(subdivisions=2)
+        from raytracer_tpu.ops import diff as diff_mod
+        monkeypatch.setattr(diff_mod, "_needs_stream", lambda s: True)
+        W, H = 24, 16
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=2, depth=3, seed=5,
+                                     parity_plane_sign=False)
+        params = gradmod.extract_params(scene, ["tri_v0", "mat_color"])
+        params["tri_v0"] = params["tri_v0"] + 0.004
+        loss_x = gradmod.make_loss_fn(scene, cam, target, width=W,
+                                      height=H, samples_per_pixel=2,
+                                      depth=3, seed=5,
+                                      parity_plane_sign=False)
+        loss_s = gradmod.make_loss_fn(scene, cam, target, width=W,
+                                      height=H, samples_per_pixel=2,
+                                      depth=3, seed=5,
+                                      parity_plane_sign=False,
+                                      engine="pallas", interpret=True)
+        v1, g1 = jax.value_and_grad(loss_x)(params)
+        v2, g2 = jax.jit(jax.value_and_grad(loss_s))(params)
+        assert abs(float(v1) - float(v2)) < 1e-5
+        for k in params:
+            a, b = np.asarray(g1[k]), np.asarray(g2[k])
+            scale = max(np.abs(a).max(), 1e-8)
+            assert np.abs(a - b).max() <= 5e-3 * scale + 1e-7, k
+
     def test_cull_bounds_follow_moved_vertices(self):
         # the cull topology is static but the bounds are traceable: moving
         # a vertex far away must inflate its leaf bound (stay sound)
