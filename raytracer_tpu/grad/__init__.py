@@ -10,7 +10,8 @@ from .params import apply_params, extract_params, PARAM_FIELDS
 from .inverse import (image_loss, make_loss_fn, make_train_step,
                       make_silhouette_train_step, fit, FitResult)
 from .finite_diff import finite_diff_grad
-from .silhouette import (mirror_silhouette_grad, silhouette_grad,
+from .silhouette import (glass_silhouette_grad, mirror_silhouette_grad,
+                         mirror_triangle_silhouette_grad, silhouette_grad,
                          triangle_silhouette_grad,
                          value_and_grad_with_silhouette)
 
@@ -20,5 +21,6 @@ __all__ = [
     "make_silhouette_train_step", "fit", "FitResult",
     "finite_diff_grad",
     "silhouette_grad", "mirror_silhouette_grad",
+    "glass_silhouette_grad", "mirror_triangle_silhouette_grad",
     "triangle_silhouette_grad", "value_and_grad_with_silhouette",
 ]

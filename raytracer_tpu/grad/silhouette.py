@@ -501,15 +501,361 @@ def mirror_silhouette_grad(scene: Scene, camera: Camera, g_img, *,
     return d_c, d_r
 
 
+def mirror_triangle_silhouette_grad(scene: Scene, camera: Camera, g_img,
+                                    *, width: int, height: int, depth: int,
+                                    parity_plane_sign: bool = True,
+                                    seed: int = 0,
+                                    samples_per_edge: int = 8,
+                                    delta: float = 3e-3,
+                                    max_edges: int = 512,
+                                    mirror_idx=None):
+    """Mesh-edge boundary terms seen IN A MIRROR (VERDICT r5 item 6a):
+    the mirror_silhouette_grad reparameterization (virtual viewpoint o'
+    across the fuzz=0 metal sphere's camera-facing tangent plane, image
+    mapping by folding at that plane) applied to TRIANGLE edges instead
+    of analytic sphere circles — edge endpoints replace the circle
+    parameterization, so vertex gradients land on tri_v0/v1/v2 exactly as
+    in the primary estimator.  The radiance jump comes from paired camera
+    probes through the REAL renderer (occlusion/curvature exact in the
+    jump); per mirror, a virtual-view importance prepass picks the top
+    ``max_edges`` edges."""
+    S = scene.num_spheres
+    T = scene.num_triangles
+    K = samples_per_edge
+    pack = intersect.pack_scene(scene)
+    seed_word = jnp.uint32(seed) * render_mod._SEED_MIX
+    ts = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+    o = camera.origin
+    kinds = scene.materials.kind[scene.sphere_mat]
+    fuzz = scene.materials.fuzz[scene.sphere_mat]
+    is_mirror = ((kinds == 1) & (fuzz == 0.0) & scene.sphere_valid)
+
+    def fin(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0)
+
+    def per_mirror(mi):
+        cm = scene.sphere_center[mi]
+        rm = jnp.abs(scene.sphere_radius[mi])
+        m_ok = is_mirror[mi]
+        um = o - cm
+        dm = jnp.sqrt(jnp.maximum(jnp.sum(um * um), 1e-12))
+        un = um / dm
+        q = cm + rm * un
+        o_virt = o - 2.0 * jnp.dot(o - q, un) * un
+
+        def uv_of_point(p):
+            # fold the o'->p segment at the tangent plane, then solve the
+            # camera equation for the mirror point
+            denom = jnp.dot(p - o_virt, un)
+            denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            s_par = jnp.dot(q - o_virt, un) / denom
+            m = o_virt + s_par * (p - o_virt)
+            A = jnp.stack([camera.horizontal, camera.vertical,
+                           -(m - o)], axis=1)
+            uvt = jnp.linalg.solve(A, o - camera.lower_left_corner)
+            ok = (s_par > 0.0) & (s_par < 1.0) & (uvt[2] > 0.0)
+            return jnp.stack([uvt[0], uvt[1]]), ok
+
+        # virtual-view importance prepass (same scoring as _select_edges)
+        verts = jnp.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], 1)
+        uv_all, ok_all = jax.vmap(jax.vmap(uv_of_point))(verts)
+        tis_a = jnp.repeat(jnp.arange(T), 3)
+        es_a = jnp.tile(jnp.arange(3), T)
+        uv_a = uv_all[tis_a, es_a]
+        uv_b = uv_all[tis_a, (es_a + 1) % 3]
+        in_img = (fin(uv_a) == uv_a).all(-1) & (fin(uv_b) == uv_b).all(-1)
+        in_img &= ((uv_a >= 0.0) & (uv_a < 1.0)).all(-1) \
+            & ((uv_b >= 0.0) & (uv_b < 1.0)).all(-1) \
+            & ok_all[tis_a, es_a] & ok_all[tis_a, (es_a + 1) % 3] \
+            & scene.tri_valid[tis_a]
+        col = jnp.clip((uv_a[:, 0] * (width - 1)).astype(jnp.int32), 0,
+                       width - 1)
+        row = jnp.clip((uv_a[:, 1] * (height - 1)).astype(jnp.int32), 0,
+                       height - 1)
+        gmag = jnp.sum(jnp.abs(g_img[row, col]), -1)
+        length = jnp.linalg.norm(fin(uv_b - uv_a), axis=-1)
+        score = jnp.where(in_img, length * (gmag + 1e-6), 0.0)
+        n_sel = min(max_edges, 3 * T)
+        _, sel = jax.lax.top_k(score, n_sel)
+        tis, es = tis_a[sel], es_a[sel]
+
+        def per_edge(ti, e):
+            verts_t = jnp.stack([scene.tri_v0[ti], scene.tri_v1[ti],
+                                 scene.tri_v2[ti]])
+            pa = verts_t[e]
+            pb = verts_t[(e + 1) % 3]
+            pc = verts_t[(e + 2) % 3]
+            valid_tri = scene.tri_valid[ti] & m_ok
+
+            def uv_at(pa_, pb_, t):
+                return uv_of_point((1.0 - t) * pa_ + t * pb_)
+
+            uv, okp = jax.vmap(lambda t: uv_at(pa, pb, t))(ts)
+            duv_dpa = jax.vmap(
+                lambda t: jax.jacfwd(lambda p: uv_at(p, pb, t)[0])(pa))(ts)
+            duv_dpb = jax.vmap(
+                lambda t: jax.jacfwd(lambda p: uv_at(pa, p, t)[0])(pb))(ts)
+            tan = jax.vmap(
+                lambda t: jax.jacfwd(lambda q_: uv_at(pa, pb, q_)[0])(t))(
+                    ts)
+            u, v = uv[:, 0], uv[:, 1]
+            ok = ((u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+                  & okp & valid_tri)
+            tlen = jnp.sqrt(jnp.maximum(jnp.sum(tan * tan, -1), 1e-20))
+            n1 = jnp.stack([tan[:, 1], -tan[:, 0]], -1) / tlen[:, None]
+            uv_c, _ = uv_of_point(pc)
+            away = uv - uv_c[None, :]
+            sign = jnp.sign(jnp.sum(n1 * away, -1))
+            sign = jnp.where(sign == 0.0, 1.0, sign)
+            n_hat = fin(n1 * sign[:, None])
+
+            def shoot(uvs, salt):
+                d3 = (camera.lower_left_corner[None, :]
+                      + uvs[:, 0:1] * camera.horizontal[None, :]
+                      + uvs[:, 1:2] * camera.vertical[None, :]
+                      - o[None, :])
+                d3 = d3 / jnp.linalg.norm(d3, axis=-1, keepdims=True)
+                o3 = jnp.broadcast_to(o, d3.shape)
+                pix_id = (jnp.arange(K, dtype=jnp.uint32)
+                          + (jnp.uint32(mi) * jnp.uint32(3 * T)
+                             + jnp.uint32(ti) * 3 + jnp.uint32(e))
+                          * jnp.uint32(K) + seed_word
+                          + jnp.uint32(salt) * jnp.uint32(0x9E3779B9))
+                rad, _ = render_mod.trace_rays(
+                    scene, pack, o3, d3, pix_id, jnp.uint32(0), depth,
+                    parity_plane_sign)
+                return rad
+
+            uvs_safe = fin(uv)
+            df = shoot(fin(uv - delta * n_hat), 0) \
+                - shoot(fin(uv + delta * n_hat), 1)
+            colp = jnp.clip((uvs_safe[:, 0] * (width - 1)).astype(
+                jnp.int32), 0, width - 1)
+            rowp = jnp.clip((uvs_safe[:, 1] * (height - 1)).astype(
+                jnp.int32), 0, height - 1)
+            g_edge = g_img[rowp, colp]
+            a_cell = 1.0 / ((width - 1) * (height - 1))
+            w_all = jnp.where(ok, jnp.sum(g_edge * fin(df), -1)
+                              * fin(tlen) / (K * a_cell), 0.0)
+            d_pa = jnp.sum(w_all[:, None] * jnp.einsum(
+                "nk,nkj->nj", n_hat, fin(duv_dpa)), axis=0)
+            d_pb = jnp.sum(w_all[:, None] * jnp.einsum(
+                "nk,nkj->nj", n_hat, fin(duv_dpb)), axis=0)
+            return fin(d_pa), fin(d_pb)
+
+        d_pa, d_pb = jax.vmap(per_edge)(tis, es)
+        return tis, es, d_pa, d_pb
+
+    d_v = jnp.zeros((T, 3, 3), jnp.float32)
+    for mi in (range(S) if mirror_idx is None else mirror_idx):
+        tis, es, d_pa, d_pb = per_mirror(mi)
+        d_v = d_v.at[tis, es].add(d_pa)
+        d_v = d_v.at[tis, (es + 1) % 3].add(d_pb)
+    return d_v[:, 0], d_v[:, 1], d_v[:, 2]
+
+
+def glass_silhouette_grad(scene: Scene, camera: Camera, g_img, *,
+                          width: int, height: int, depth: int,
+                          parity_plane_sign: bool = True, seed: int = 0,
+                          n_edge: int = 128, delta: float = 3e-3):
+    """Silhouette gradients of a sphere seen THROUGH the always-refract
+    dielectric (VERDICT r5 item 6b).
+
+    The reference dielectric never branches (no Fresnel/TIR decision,
+    materials.rs:65-97), so the camera->glass->target ray map is a
+    DETERMINISTIC analytic chain: entry hit, reference-rule refraction
+    (materials.py semantics exactly), interior propagation, exit
+    refraction.  The through-glass silhouette of target sphere (cs, rs)
+    is the zero level set of
+
+        f(u, v; theta) = |closest approach of the exit ray to cs| - rs
+
+    which AD differentiates w.r.t. BOTH the image point and every scene
+    parameter in the chain (target center/radius AND the glass sphere's
+    center/radius).  The estimator finds boundary points by radial
+    bisection of f around the glass disk center (non-differentiable
+    root-find; gradients come from the implicit function theorem):
+
+        velocity . n_hat = -(df/dtheta) / |grad_uv f|
+        curve measure   = |duv/dphi| from the same implicit derivative
+
+    and measures the radiance jump with paired probes through the real
+    renderer, so occlusion and the interior shading of the lens image
+    stay exact in the jump.  Scope: one glass interface pair on the
+    chain (camera -> G -> S); the root search is radial around G's image
+    center, covering the lens-image topology of a target behind the
+    glass ball (the reference world's configuration)."""
+    S = scene.num_spheres
+    pack = intersect.pack_scene(scene)
+    seed_word = jnp.uint32(seed) * render_mod._SEED_MIX
+    o = camera.origin
+    kinds = scene.materials.kind[scene.sphere_mat]
+    irs = scene.materials.ir[scene.sphere_mat]
+    is_glass = (kinds == 2) & scene.sphere_valid
+    phi = (jnp.arange(n_edge, dtype=jnp.float32) + 0.5) \
+        * (2.0 * np.pi / n_edge)
+
+    def fin(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0)
+
+    def per_pair(gi, si):
+        cg = scene.sphere_center[gi]
+        rg = jnp.abs(scene.sphere_radius[gi])
+        irg = irs[gi]
+        cs = scene.sphere_center[si]
+        rs = jnp.abs(scene.sphere_radius[si])
+        pair_ok = (is_glass[gi] & scene.sphere_valid[si] & (gi != si)
+                   & (jnp.abs(scene.sphere_radius[si]) > 1e-6))
+
+        def sphere_hit_t(po, pd, c, r, far):
+            oc = po - c
+            hb = jnp.dot(oc, pd)
+            cc = jnp.dot(oc, oc) - r * r
+            disc = hb * hb - cc
+            sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+            return (-hb + sq) if far else (-hb - sq)
+
+        def refract_ref(d, p, c, r):
+            # the renderer's dielectric rule exactly (materials.py:89-94)
+            n = (p - c) / r
+            n = n / jnp.sqrt(jnp.maximum(jnp.sum(n * n), 1e-12))
+            inside = jnp.dot(d, n) >= 0.0
+            n_eff = jnp.where(inside, -1.0, 1.0) * n
+            ratio = jnp.where(inside, 1.0 / irg, irg)
+            cos_t = jnp.dot(-d, n_eff)
+            r_perp = ratio * (d + cos_t * n_eff)
+            r_par = -jnp.sqrt(jnp.abs(1.0 - jnp.sum(r_perp * r_perp))) \
+                * n_eff
+            out = r_perp + r_par
+            return out / jnp.sqrt(jnp.maximum(jnp.sum(out * out), 1e-12))
+
+        def f_of(uv, cs_, rs_, cg_, rg_):
+            d = (camera.lower_left_corner + uv[0] * camera.horizontal
+                 + uv[1] * camera.vertical - o)
+            d = d / jnp.sqrt(jnp.maximum(jnp.sum(d * d), 1e-12))
+            t1 = sphere_hit_t(o, d, cg_, rg_, far=False)
+            p1 = o + t1 * d
+            d1 = refract_ref(d, p1, cg_, rg_)
+            t2 = sphere_hit_t(p1, d1, cg_, rg_, far=True)
+            p2 = p1 + t2 * d1
+            d2 = refract_ref(d1, p2, cg_, rg_)
+            w = cs_ - p2
+            along = jnp.dot(w, d2)
+            miss2 = jnp.maximum(jnp.sum(w * w) - along * along, 1e-12)
+            miss = jnp.sqrt(miss2)
+            # behind the exit point = no silhouette (mask via +rs)
+            return jnp.where(along > 0.0, miss - rs_, miss + rs_ + 1.0)
+
+        # glass disk center in the image
+        A0 = jnp.stack([camera.horizontal, camera.vertical, -(cg - o)],
+                       axis=1)
+        uvt0 = jnp.linalg.solve(A0, o - camera.lower_left_corner)
+        uv0 = uvt0[:2]
+        # radial span: G's own silhouette radius in uv, with margin
+        dg = jnp.sqrt(jnp.maximum(jnp.sum((cg - o) ** 2), 1e-12))
+        span = rg / jnp.maximum(dg, 1e-6) * jnp.maximum(uvt0[2], 1e-6)
+
+        def per_phi(ph):
+            e = jnp.stack([jnp.cos(ph), jnp.sin(ph)])
+
+            def fs(s):
+                return f_of(uv0 + s * e, cs, rs, cg, rg)
+
+            # bisection: f < 0 at the center ray (target visible through
+            # the lens), f > 0 at the glass rim
+            s_lo, s_hi = jnp.float32(0.0), jnp.float32(1.0)
+            found = fs(jnp.float32(0.0)) < 0.0
+
+            def bis_body(_, st):
+                lo, hi = st
+                mid = 0.5 * (lo + hi)
+                neg = fs(mid * span) < 0.0
+                return (jnp.where(neg, mid, lo), jnp.where(neg, hi, mid))
+
+            s_lo, s_hi = jax.lax.fori_loop(0, 24, bis_body, (s_lo, s_hi))
+            s_root = 0.5 * (s_lo + s_hi) * span
+            uv = uv0 + s_root * e
+            # reject rays where bisection never bracketed a crossing
+            found &= jnp.abs(fs(s_root)) < 0.05
+
+            # implicit-function gradients at the root
+            g_uv = jax.grad(lambda q: f_of(q, cs, rs, cg, rg))(uv)
+            gnorm = jnp.sqrt(jnp.maximum(jnp.sum(g_uv * g_uv), 1e-12))
+            n_hat = g_uv / gnorm
+            d_cs = jax.grad(lambda q: f_of(uv, q, rs, cg, rg))(cs)
+            d_rs = jax.grad(lambda q: f_of(uv, cs, q, cg, rg))(rs)
+            d_cg = jax.grad(lambda q: f_of(uv, cs, rs, q, rg))(cg)
+            d_rg = jax.grad(lambda q: f_of(uv, cs, rs, cg, q))(rg)
+            # curve tangent from the implicit derivative along phi
+            e_perp = jnp.stack([-e[1], e[0]])
+            dg_ds = jnp.dot(g_uv, e)
+            dg_dphi = jnp.dot(g_uv, s_root * e_perp)
+            ds_dphi = -dg_dphi / jnp.where(jnp.abs(dg_ds) < 1e-9, 1e-9,
+                                           dg_ds)
+            tangent = ds_dphi * e + s_root * e_perp
+            tlen = jnp.sqrt(jnp.maximum(jnp.sum(tangent * tangent),
+                                        1e-20))
+            inside_img = ((uv >= 0.0) & (uv < 1.0)).all()
+            return (uv, n_hat, gnorm, tlen,
+                    jnp.stack([d_cs[0], d_cs[1], d_cs[2], d_rs,
+                               d_cg[0], d_cg[1], d_cg[2], d_rg]),
+                    found & inside_img)
+
+        uv, n_hat, gnorm, tlen, dtheta, okk = jax.vmap(per_phi)(phi)
+        ok = okk & pair_ok
+
+        def shoot(uvs, salt):
+            d3 = (camera.lower_left_corner[None, :]
+                  + uvs[:, 0:1] * camera.horizontal[None, :]
+                  + uvs[:, 1:2] * camera.vertical[None, :] - o[None, :])
+            d3 = d3 / jnp.linalg.norm(d3, axis=-1, keepdims=True)
+            o3 = jnp.broadcast_to(o, d3.shape)
+            pix_id = (jnp.arange(n_edge, dtype=jnp.uint32)
+                      + (jnp.uint32(gi) * jnp.uint32(S) + jnp.uint32(si))
+                      * jnp.uint32(n_edge) + seed_word
+                      + jnp.uint32(salt) * jnp.uint32(0x85EBCA6B))
+            rad, _ = render_mod.trace_rays(
+                scene, pack, o3, d3, pix_id, jnp.uint32(1), depth,
+                parity_plane_sign)
+            return rad
+
+        # f increases outward (outside = miss): f_in at uv - delta*n_hat
+        df = shoot(fin(uv - delta * n_hat), 0) \
+            - shoot(fin(uv + delta * n_hat), 1)
+        col = jnp.clip((fin(uv[:, 0]) * (width - 1)).astype(jnp.int32),
+                       0, width - 1)
+        row = jnp.clip((fin(uv[:, 1]) * (height - 1)).astype(jnp.int32),
+                       0, height - 1)
+        g_edge = g_img[row, col]
+        a_cell = 1.0 / ((width - 1) * (height - 1))
+        meas = fin(tlen) * (2.0 * np.pi / n_edge) / a_cell
+        # boundary velocity along n_hat per unit theta: -(df/dtheta)/|gf|
+        w_all = jnp.where(ok, jnp.sum(g_edge * fin(df), -1) * meas, 0.0)
+        vel = -fin(dtheta) / jnp.maximum(gnorm, 1e-9)[:, None]
+        contrib = jnp.sum(w_all[:, None] * vel, axis=0)     # (8,)
+        return contrib
+
+    gis = jnp.repeat(jnp.arange(S), S)
+    sis = jnp.tile(jnp.arange(S), S)
+    contrib = jax.vmap(per_pair)(gis, sis)                  # [S*S, 8]
+    d_c = jnp.zeros((S, 3), jnp.float32).at[sis].add(contrib[:, 0:3])
+    d_r = jnp.zeros((S,), jnp.float32).at[sis].add(contrib[:, 3])
+    d_c = d_c.at[gis].add(contrib[:, 4:7])
+    d_r = d_r.at[gis].add(contrib[:, 7])
+    return d_c, d_r
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "samples_per_pixel", "depth",
                      "parity_plane_sign", "n_edge", "samples_per_edge",
-                     "max_edges", "param_keys", "mirror_pairs"))
+                     "max_edges", "param_keys", "mirror_pairs",
+                     "mirror_idx", "glass_pairs"))
 def _loss_and_grad(scene, camera, target, params, param_keys, *, width,
                    height, samples_per_pixel, depth, parity_plane_sign,
                    seed, n_edge, samples_per_edge,
-                   max_edges=MAX_EDGE_SAMPLES, mirror_pairs=True):
+                   max_edges=MAX_EDGE_SAMPLES, mirror_pairs=True,
+                   mirror_idx=(), glass_pairs=False):
     from .params import apply_params
 
     def loss_fn(p):
@@ -545,6 +891,15 @@ def _loss_and_grad(scene, camera, target, params, param_keys, *, width,
                 seed=seed + 15485863, n_edge=max(n_edge // 2, 64))
             d_c = d_c + d_cm
             d_r = d_r + d_rm
+        if glass_pairs and scene.num_spheres <= 16:
+            # through-glass boundary terms (implicit-boundary estimator;
+            # gated host-side on a dielectric sphere being present)
+            d_cg, d_rg = glass_silhouette_grad(
+                s_now, camera, g_img, width=width, height=height,
+                depth=depth, parity_plane_sign=parity_plane_sign,
+                seed=seed + 32452843, n_edge=max(n_edge // 4, 64))
+            d_c = d_c + d_cg
+            d_r = d_r + d_rg
         if "sphere_center" in param_keys:
             grads["sphere_center"] = grads["sphere_center"] + d_c
         if "sphere_radius" in param_keys:
@@ -556,6 +911,18 @@ def _loss_and_grad(scene, camera, target, params, param_keys, *, width,
             s_now, camera, g_img, width=width, height=height, depth=depth,
             parity_plane_sign=parity_plane_sign, seed=seed + 104729,
             samples_per_edge=samples_per_edge, max_edges=max_edges)
+        if mirror_idx:
+            # mesh edges seen in each fuzz=0 mirror (static index list
+            # from the host gate)
+            mv0, mv1, mv2 = mirror_triangle_silhouette_grad(
+                s_now, camera, g_img, width=width, height=height,
+                depth=depth, parity_plane_sign=parity_plane_sign,
+                seed=seed + 49979687,
+                samples_per_edge=samples_per_edge,
+                max_edges=min(max_edges, 512), mirror_idx=mirror_idx)
+            dv0 = dv0 + mv0
+            dv1 = dv1 + mv1
+            dv2 = dv2 + mv2
         for k, dv in (("tri_v0", dv0), ("tri_v1", dv1), ("tri_v2", dv2)):
             if k in param_keys:
                 grads[k] = grads[k] + dv
@@ -579,11 +946,15 @@ def value_and_grad_with_silhouette(scene: Scene, camera: Camera, target,
     kinds = _np.asarray(scene.materials.kind)[_np.asarray(scene.sphere_mat)]
     fuzz = _np.asarray(scene.materials.fuzz)[_np.asarray(scene.sphere_mat)]
     valid = _np.asarray(scene.sphere_valid)
-    mirror_pairs = bool(_np.any((kinds == 1) & (fuzz == 0.0) & valid))
+    mirrors = (kinds == 1) & (fuzz == 0.0) & valid
+    mirror_pairs = bool(_np.any(mirrors))
+    mirror_idx = tuple(int(i) for i in _np.nonzero(mirrors)[0][:4])
+    glass_pairs = bool(_np.any((kinds == 2) & valid))
     return _loss_and_grad(
         scene, camera, target, params, tuple(sorted(params.keys())),
         width=width, height=height, samples_per_pixel=samples_per_pixel,
         depth=depth, parity_plane_sign=parity_plane_sign, seed=seed,
         n_edge=n_edge, samples_per_edge=samples_per_edge,
-        mirror_pairs=mirror_pairs,
+        mirror_pairs=mirror_pairs, mirror_idx=mirror_idx,
+        glass_pairs=glass_pairs,
         max_edges=max_edges)

@@ -629,6 +629,109 @@ sphere center 0.0 0.0 -2.0 radius 0.5 material A;
         assert float(jnp.abs(d_r).max()) == 0.0
 
 
+class TestGlassSilhouette:
+    """VERDICT r5 item 6b: a sphere visible ONLY through the always-
+    refract glass ball must get a usable unmasked gradient — the
+    implicit-boundary estimator differentiates the analytic
+    camera->glass->target refraction chain."""
+
+    SRC = """camera origin 0.0 0.0 0.0 aspect 1.0;
+material GLASS : Dielectric ir 1.15;
+material BALL : Diffuse color 0.8 0.2 0.1;
+sphere center 0.0 0.0 -1.0 radius 0.45 material GLASS;
+sphere center 0.0 0.0 -1.8 radius 0.35 material BALL;
+"""
+
+    def test_glass_only_sphere_fd_match(self):
+        # the ball hides entirely behind the glass ball's disk (angular
+        # radius 0.19 vs 0.45): no unrefracted camera ray reaches it, so
+        # interior AD sees only the lens-interior shading and the
+        # boundary term must come from the through-glass estimator.
+        # depth 5 gives the chain entry/exit/diffuse/sky bounces
+        w = rt.parse_input(self.SRC)
+        scene, cam = w.to_scene(), w.to_camera()
+        W = H = 48
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=4, depth=5,
+                                     seed=13)
+        params = gradmod.extract_params(scene, ["sphere_center"])
+        params["sphere_center"] = params["sphere_center"] + \
+            jnp.asarray([[0.0, 0.0, 0.0], [0.03, -0.02, 0.0]])
+        loss = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                    samples_per_pixel=4, depth=5, seed=13)
+        _, ad = gradmod.value_and_grad_with_silhouette(
+            scene, cam, target, params, width=W, height=H,
+            samples_per_pixel=4, depth=5, seed=13, n_edge=512)
+        fd = gradmod.finite_diff_grad(loss, params, eps=1.5e-2)
+        a = np.asarray(ad["sphere_center"])[1, :2]
+        f = np.asarray(fd["sphere_center"])[1, :2]
+        cos = float(np.dot(a, f)
+                    / max(np.linalg.norm(a) * np.linalg.norm(f), 1e-12))
+        assert cos > 0.85, (a, f, cos)
+        assert 0.3 < np.linalg.norm(a) / max(np.linalg.norm(f), 1e-12) < 3.0
+
+    def test_glass_term_zero_without_dielectric(self):
+        w = rt.parse_input("""camera origin 0.0 0.0 0.0 aspect 1.0;
+material A : Diffuse color 0.5 0.5 0.5;
+sphere center 0.0 0.0 -2.0 radius 0.5 material A;
+""")
+        scene, cam = w.to_scene(), w.to_camera()
+        W = H = 16
+        img, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                  samples_per_pixel=2, depth=2, seed=1)
+        g = jnp.ones_like(img)
+        d_c, d_r = gradmod.glass_silhouette_grad(
+            scene, cam, g, width=W, height=H, depth=2, seed=1, n_edge=64)
+        assert float(jnp.abs(d_c).max()) == 0.0
+        assert float(jnp.abs(d_r).max()) == 0.0
+
+
+class TestMirrorMeshSilhouette:
+    """VERDICT r5 item 6a: triangle-mesh edges seen in a fuzz=0 mirror
+    get boundary-term vertex gradients via the virtual-viewpoint fold."""
+
+    def _world(self):
+        from raytracer_tpu.models.builders import cube_mesh
+        from raytracer_tpu.scene import (DIFFUSE, METAL, build_materials,
+                                         build_scene)
+        mats = build_materials([(METAL, (0.95, 0.95, 0.95), 0.0, 1.0),
+                                (DIFFUSE, (0.8, 0.2, 0.1), 0.0, 1.0)])
+        # mirror ahead; cube BEHIND the camera: visible only reflected
+        tris = cube_mesh((0.4, 0.1, 1.6), 0.3, 1)
+        scene = build_scene([((0.0, 0.0, -102.0), 100.0, 0)], tris, mats,
+                            exact_planes=True)
+        cam = rt.Camera.new_at((0.0, 0.0, 0.0), 1.0)
+        return scene, cam
+
+    def test_mirror_mesh_fd_match(self):
+        scene, cam = self._world()
+        W = H = 32
+        target, _ = rt.render_linear(scene, cam, width=W, height=H,
+                                     samples_per_pixel=4, depth=3,
+                                     seed=17, parity_plane_sign=False)
+        params = gradmod.extract_params(scene, ["tri_v0", "tri_v1",
+                                                "tri_v2"])
+        shift = jnp.asarray([0.04, -0.03, 0.0])
+        for k in params:
+            params[k] = params[k] + shift
+        loss = gradmod.make_loss_fn(scene, cam, target, width=W, height=H,
+                                    samples_per_pixel=4, depth=3, seed=17,
+                                    parity_plane_sign=False)
+        _, ad = gradmod.value_and_grad_with_silhouette(
+            scene, cam, target, params, width=W, height=H,
+            samples_per_pixel=4, depth=3, seed=17,
+            parity_plane_sign=False, samples_per_edge=16)
+        # aggregate translation gradient (sum over all vertices) —
+        # the FD comparison that moves the whole cube rigidly
+        a = sum(np.asarray(ad[k]).sum(axis=0) for k in params)[:2]
+        fd = gradmod.finite_diff_grad(loss, params, eps=2e-2)
+        f = sum(np.asarray(fd[k]).sum(axis=0) for k in params)[:2]
+        cos = float(np.dot(a, f)
+                    / max(np.linalg.norm(a) * np.linalg.norm(f), 1e-12))
+        assert cos > 0.85, (a, f, cos)
+        assert 0.3 < np.linalg.norm(a) / max(np.linalg.norm(f), 1e-12) < 3.0
+
+
 class TestEdgeSelection:
     """VERDICT r3 item 6: meshes beyond MAX_EDGE_TRIS get boundary terms
     through the importance-selected edge prepass instead of a hard cap."""
