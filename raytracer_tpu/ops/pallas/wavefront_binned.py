@@ -77,11 +77,16 @@ from .wavefront_sorted import (
 # state plane 13 carries the ray's SLOT id (exact in f32 for < 2^24 rays:
 # slot = original_row * 128 + lane, the bounce-0 position), so pixel ids
 # and RNG streams survive any regrouping — row-granularity takes or full
-# per-ray sorts.  14 planes exactly (no pads): every regroup gather and
-# kernel state transfer pays per plane (round-5 profile: the OBJ frame is
-# glue-dominated), and VMEM tiling only constrains the LAST two dims
+# per-ray sorts.  Plane 14 carries the ray's WALK-EXIT BOUND: the
+# farthest AABB exit over every top node the ray overlaps, computed
+# during next-top selection — no hit can lie beyond it, so it stops
+# straggler lanes (rays crossing empty corridors of the scene bound)
+# from pinning their block through the whole node walk.  15 planes total:
+# every regroup gather and kernel state transfer pays per plane, and
+# VMEM tiling only constrains the LAST two dims
 _ST_SLOT = 13
-P_STATE = 14
+_ST_EXITB = 14
+P_STATE = 15
 
 # supertop selection granularity: next-top selection tests SUPER
 # consecutive DFS tops as one union AABB and only descends supertops some
@@ -374,6 +379,12 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
         rexit = -rhb + rsq
         root_p = (rdisc >= 0.0) & (rexit > T_MIN) & alive & (rr2 > 0.0)
         t_cap = jnp.where(root_p, rexit * jnp.float32(1.0005) + 1e-4, -BIG)
+        if not primary:
+            # per-lane walk-exit bound from the PREVIOUS selection: the
+            # farthest AABB exit over every top this ray overlaps — a
+            # tighter straggler cap than the root-sphere exit for rays
+            # crossing empty corridors of the scene bound
+            t_cap = jnp.minimum(t_cap, state_ref[_ST_EXITB])
 
         def cull_t(t_best):
             return jnp.minimum(t_best, t_cap)
@@ -558,8 +569,9 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
         out_ref[_ST_ALIVE] = alive_f
         out_ref[_ST_SLOT] = slot.astype(jnp.float32)
 
-        # ---- next-top selection -> per-lane sort keys -------------------
+        # ---- next-top selection -> per-lane sort keys + exit bound ------
         if is_last:
+            out_ref[_ST_EXITB] = zero
             keys_out[...] = jnp.full((R, LANES), _KEY_DEAD, jnp.int32)
         else:
             alive2 = alive_f > 0.5
@@ -579,21 +591,27 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                 tfar = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                                jnp.maximum(ty0, ty1)),
                                    jnp.maximum(tz0, tz1))
-                return tnear, (tnear <= tfar) & (tfar > T_MIN)
+                return tnear, tfar, (tnear <= tfar) & (tfar > T_MIN)
 
             if use_super:
                 # two-level scan: one union-AABB test per SUPER
                 # consecutive DFS tops; descend (pl.when on a scalar, so
-                # skipped supertops really are skipped — lax.cond would
+                # skipped supertops really are skipped - lax.cond would
                 # execute both branches) only when some live lane could
                 # improve on its current best entry.  best (e, c) live in
-                # VMEM scratch because pl.when bodies cannot carry values
+                # VMEM scratch because pl.when bodies cannot carry
+                # values; the EXIT BOUND (max tfar over overlapping
+                # nodes) accumulates at SUPERTOP granularity - coarser
+                # than per-top but conservative, and it never needs the
+                # descend
                 n_super = supa_ref.shape[1]
                 sel_scr[0] = jnp.full((R, LANES), BIG)
                 sel_scr[1] = jnp.full((R, LANES), -1.0)
 
-                def s_body(si, _):
-                    tnear_s, ok_s = top_entry(supa_ref, si)
+                def s_body(si, exit_e):
+                    tnear_s, tfar_s, ok_s = top_entry(supa_ref, si)
+                    exit_e = jnp.maximum(
+                        exit_e, jnp.where(ok_s, tfar_s, -BIG))
                     guard = jnp.where(alive2, sel_scr[0],
                                       jnp.float32(-BIG))
                     improve = ok_s & (tnear_s < guard)
@@ -605,7 +623,7 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                         bc = sel_scr[1]
                         for k in range(SUPER):
                             ci = si * SUPER + k
-                            tn, ok = top_entry(topap_ref, ci)
+                            tn, _tf, ok = top_entry(topap_ref, ci)
                             e = jnp.where(ok, tn, BIG)
                             better = e < be
                             be = jnp.where(better, e, be)
@@ -613,25 +631,34 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                                            ci.astype(jnp.float32), bc)
                         sel_scr[0] = be
                         sel_scr[1] = bc
-                    return 0
+                    return exit_e
 
-                jax.lax.fori_loop(0, n_super, s_body, 0)
+                exit_e = jax.lax.fori_loop(
+                    0, n_super, s_body, jnp.full((R, LANES), -BIG))
                 best_e = sel_scr[0]
                 best_c = sel_scr[1].astype(jnp.int32)
             else:
                 def sel_body(c, carry):
-                    best_e, best_c = carry
-                    tnear, ok = top_entry(topa_ref, c)
+                    best_e, best_c, exit_e = carry
+                    tnear, tfar, ok = top_entry(topa_ref, c)
+                    exit_e = jnp.maximum(
+                        exit_e, jnp.where(ok, tfar, -BIG))
                     e = jnp.where(ok, tnear, BIG)
                     better = e < best_e
                     return (jnp.where(better, e, best_e),
-                            jnp.where(better, c, best_c))
+                            jnp.where(better, c, best_c), exit_e)
 
-                best_e, best_c = jax.lax.fori_loop(
+                best_e, best_c, exit_e = jax.lax.fori_loop(
                     0, n_tops, sel_body,
                     (jnp.full((R, LANES), BIG),
-                     jnp.full((R, LANES), -1, jnp.int32)))
+                     jnp.full((R, LANES), -1, jnp.int32),
+                     jnp.full((R, LANES), -BIG)))
             found = best_c >= 0
+            # conservative margin mirrors the root-exit cap; a lane with
+            # no overlapping top can never hit a triangle
+            out_ref[_ST_EXITB] = jnp.where(
+                found, exit_e * jnp.float32(1.0005) + 1e-4,
+                jnp.float32(-BIG))
 
             klx = klo_ref[0]
             kly = klo_ref[1]
