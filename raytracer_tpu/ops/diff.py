@@ -321,6 +321,7 @@ def _pallas_forward(scene, camera, statics, row_offset, row_stride):
             tri_clusters=(tric_b, jnp.asarray(cull.ranges)),
             tri_stream=(trit_b, trit_r),
             stream_tops=int(trit_r.shape[1]),
+            block_rows=16,
             shard_rows=shard_rows, row_offset=row_offset,
             row_stride=row_stride)
         return mean
@@ -334,7 +335,10 @@ def _pallas_forward(scene, camera, statics, row_offset, row_stride):
         sph, tri, cv, width=width, height=height, samples_per_pixel=spp,
         depth=depth, seed=seed, parity_plane_sign=pps, interpret=interpret,
         tri_clusters=tri_cl, shard_rows=shard_rows, row_offset=row_offset,
-        row_stride=row_stride)
+        row_stride=row_stride,
+        # measured on the OBJ-10k grad config: 16-row tiles keep walk
+        # frustums tight for cluster culling (fwd+bwd 507 -> 427 ms)
+        block_rows=16 if tri_cl is not None else 32)
     return mean
 
 
@@ -401,7 +405,7 @@ def _bwd(statics, residuals, g):
                 tri_clusters=(tric_b, jnp.asarray(cull.ranges)),
                 tri_stream=(trit_b, trit_r),
                 stream_tops=int(trit_r.shape[1]),
-                n_tris_packed=scene.tri_v0.shape[0],
+                n_tris_packed=scene.tri_v0.shape[0], block_rows=16,
                 shard_rows=shard_rows, row_offset=row_offset,
                 row_stride=row_stride)
             dsph, dtri, dcam = jax.lax.optimization_barrier(
@@ -417,6 +421,7 @@ def _bwd(statics, residuals, g):
                 height=height, samples_per_pixel=spp, depth=depth,
                 seed=seed, parity_plane_sign=pps, interpret=interpret,
                 tri_clusters=tri_cl, shard_rows=shard_rows,
+                block_rows=16 if tri_cl is not None else 32,
                 row_offset=row_offset, row_stride=row_stride)
         M = scene.materials.count
         mat = scene.sphere_mat

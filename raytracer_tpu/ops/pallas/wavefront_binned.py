@@ -10,32 +10,28 @@ primaries), and its XLA glue — a 1M-element argsort+gather per bounce
 primary-ray setup — costs more than the whole per-chip ray budget for the
 10k-triangle OBJ config.
 
-This engine restructures the pipeline around two measurements on v5e:
-
-  * a 1M-element gather/scatter costs ~9-16 ms, but a ROW-contiguous take
-    of the same bytes ((8192, 2048) f32, 8 KB rows) costs <1 ms — so rays
-    are regrouped at ROW granularity (128 rays), never element-wise;
-  * everything else (primary generation, sort-key computation, image
-    accumulation) moves INTO the bounce kernels or becomes a pure
-    reshape, leaving the XLA glue at one tiny argsort (#rows) plus one
-    row-take per bounce.
-
 Pipeline per frame (depth D):
 
   P0 kernel  — one launch: per-block camera tiles generate primary rays
      in-kernel (pcg3d jitter, same counter streams as every engine),
      sphere loop, camera-ordered front-to-back triangle walk with early
      exit, shade (materials.rs semantics via _scatter_bookkeep), and
-     NEXT-TOP SELECTION: each lane scans the top-node bounds for the
-     nearest candidate its new ray could hit and emits a per-lane sort
-     key [chosen top | direction class | origin cell].
-  (regroup)  — rowkey = min over the row's lanes; argsort(#rows) +
-     row-take.  Rows whose rays want the same top land in the same
-     (block_rows x 128) block, so the walk's conservative union bounds
-     degenerate to ~each ray's own need.  Dead rows sink to the end and
-     their blocks exit the walk immediately.
+     NEXT-TOP SELECTION: each lane scans the top-node bounds (through a
+     supertop 2-level scan past 48 tops) for the nearest candidate its
+     new ray could hit, emits a per-lane sort key
+     [chosen top | direction class | origin cell], and a per-lane
+     WALK-EXIT BOUND (the farthest AABB exit over every overlapping
+     top — no hit can lie beyond it).
+  (regroup)  — per-RAY argsort of the keys + 15-plane gather.  Round-5
+     sweeps pinned this as load-bearing at FINE granularity: coarse
+     row/chunk variants are 3-5x slower end-to-end because live rays
+     stop packing densely under the autotuned bounce caps (dead-ray
+     compaction matters more than the gather cost; see PERFSTUDY
+     "r5_binned_decomposition").
   PF kernel  x (D-1): sphere loop + node-ordered walk with the
-     secondary-bounce exit of the sorted engine + shade + selection.
+     secondary-bounce exit of the sorted engine, per-lane exit-bound
+     walk caps (stragglers crossing empty corridors stop pinning their
+     block), shade, and selection.
 
 Ray identity travels as a STATE PLANE (row id, exact in f32), so pixel
 ids and RNG streams are recomputed in-kernel from the row id and the
