@@ -95,6 +95,11 @@ import os as _os
 # experiment switch: fetch triangle data per passing GROUP (8 KB) instead
 # of per passing TOP (96 KB)
 GROUP_DMA = bool(int(_os.environ.get("BINNED_GROUP_DMA", "1")))
+# group-DMA pipeline depth (ring of SMEM slots kept in flight ahead of
+# the grind; must be a power of two).  Scattered 8 KB fetches are
+# latency-bound: with depth 2 the 164k bounce-1 pass spends ~1.5 us per
+# group DMA; deeper rings hide more of it
+DMA_SLOTS = int(_os.environ.get("BINNED_DMA_SLOTS", "4"))
 
 # sort-key layout: [chosen top | 6-bit direction class | 9-bit origin cell]
 _KEY_SUB_BITS = 15
@@ -131,12 +136,15 @@ def tile_geometry(width, height, spp, block_rows):
 def _regroup(state, keys, gran):
     """Reorder rays by their sort keys at ``gran``-ray granularity.
 
-    Measured v5e gather costs at 1M rays set the design: per-element
-    gathers (~14 ms) and sub-1KB chunks are gather-engine-bound, 1-8 KB
-    contiguous chunks are ~2 ms, and (16, N) <-> (N, 16) transposes are
-    free (~0.13 ms).  So chunks of ``gran`` rays move as contiguous
-    ray-major slices: gran=128 is a plain row take, gran=16 costs ~2 ms,
-    gran=1 is the exact (expensive) per-ray argsort+gather."""
+    The per-ray (gran=1) path carries every state plane as a PAYLOAD
+    operand of one ``lax.sort``: measured on v5e at 1M rays the payload
+    sort costs ~1.6 ms nearly independent of operand count (2 vs 12
+    payloads: 1.59 vs 1.62 ms), while the old argsort + 15-plane gather
+    formulation costs ~15.5 ms — XLA lowers the per-element gather to
+    the slow dynamic-gather path, but sort payloads ride the sorting
+    network's vectorized permute (PERFSTUDY "r5b_glue").  Coarser
+    granularities move contiguous ray-major chunks: gran=128 is a plain
+    row take, gran=16 costs ~2 ms."""
     P, rows, lanes = state.shape
     if gran >= lanes:
         rowkey = jnp.min(keys, axis=1)
@@ -144,8 +152,10 @@ def _regroup(state, keys, gran):
         flat = jnp.moveaxis(state, 0, 1).reshape(rows, P * lanes)
         return jnp.moveaxis(flat[order].reshape(rows, P, lanes), 1, 0)
     if gran == 1:
-        order = jnp.argsort(keys.reshape(-1))
-        return state.reshape(P, -1)[:, order].reshape(P, rows, lanes)
+        ops = jax.lax.sort(
+            [keys.reshape(-1)] + [state[i].reshape(-1) for i in range(P)],
+            num_keys=1)
+        return jnp.stack(ops[1:]).reshape(P, rows, lanes)
     nch = lanes // gran
     ckey = keys.reshape(rows, nch, gran).min(axis=2).reshape(-1)
     order = jnp.argsort(ckey)
@@ -223,7 +233,9 @@ def _make_tri_body_gated(read, ox, oy, oz, dx, dy, dz):
 def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                       n_tops, block_rows, *, primary, is_last, node_exit,
                       tw, th, ntx, tile_row_stride=1, gated_tris=False,
-                      super_selection=None, debug_counts=False):
+                      super_selection=None, debug_counts=False,
+                      dbg_no_dma=False, dbg_no_tri=False,
+                      dbg_no_sub=False):
     """One render pass over a (block_rows x LANES)-ray block.
 
     ``primary``: generate bounce-0 camera rays in-kernel (no state input)
@@ -350,13 +362,10 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                           hs0)
         hs, _ = _sphere_normals(ox, oy, oz, dx, dy, dz, hs)
 
-        if gated_tris:
-            tri_body = _make_tri_body_gated(
-                lambda row, i: tri_smem[row, i], ox, oy, oz, dx, dy, dz)
-        else:
-            tri_body = _make_tri_body(
-                lambda row, i: tri_smem[row, i], False,
-                ox, oy, oz, dx, dy, dz)
+        def make_tri_body(read):
+            if gated_tris:
+                return _make_tri_body_gated(read, ox, oy, oz, dx, dy, dz)
+            return _make_tri_body(read, False, ox, oy, oz, dx, dy, dz)
 
         # root-exit culling cap (see wavefront_sorted.py): a lane can only
         # hit triangles before it leaves the root bound, and lanes missing
@@ -413,7 +422,14 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
             dmax = jnp.sqrt(jnp.max(jnp.where(alive, d2o, 0.0)))
         use_node = node_exit and not primary
 
-        def make_grp_body(g0r):
+        def _grp_dma(g, slot):
+            """Async copy descriptor for group ``g`` -> SMEM slot
+            ``slot`` (the same descriptor starts and waits)."""
+            return pltpu.make_async_copy(
+                tri_hbm.at[:, pl.ds(g * GROUP, GROUP)],
+                tri_smem.at[slot], dma_sem.at[slot])
+
+        def make_grp_body(g0r, g1r):
             def grp_body(g, carry):
                 c_grp, c_sub, c_tri = carry[0], carry[1], carry[2]
                 hs = carry[3:]
@@ -421,32 +437,51 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                                       inv_y, inv_z, cull_t(hs[0]), alive)
                 any_g = jnp.max(jnp.where(possible, 1.0, 0.0))
                 c_grp = c_grp + (any_g > 0.0).astype(jnp.int32)
-                if GROUP_DMA:
-                    # fetch only this PASSING group's 128 columns (8 KB):
-                    # at the measured 2.2 GB/s SMEM fill rate the per-top
-                    # 96 KB copy costs ~44 us, and a block's passing
-                    # groups are typically a fraction of its passing
-                    # tops' spans
-                    @pl.when(any_g > 0.0)
+                if GROUP_DMA and not dbg_no_dma:
+                    # PIPELINED ring buffer: group g's 8 KB fetch was
+                    # started DMA_SLOTS-1 iterations ahead (visit_body
+                    # primes the ring) into slot g % DMA_SLOTS; start
+                    # g+DMA_SLOTS-1 before waiting, so several scattered
+                    # fetches stay in flight while this group's sub/tri
+                    # grind runs (scattered 8 KB DMAs are latency-bound:
+                    # ~1.5 us each with a depth-2 ring on the 164k
+                    # bounce-1 pass, the single largest frame cost).
+                    # Every group in [g0, g1) is fetched regardless of
+                    # its AABB test: the extra fetches ride the otherwise
+                    # idle DMA engine
+                    @pl.when(g + DMA_SLOTS - 1 < g1r)
                     def _():
-                        dma = pltpu.make_async_copy(
-                            tri_hbm.at[:, pl.ds(g * GROUP, GROUP)],
-                            tri_smem, dma_sem)
-                        dma.start()
-                        dma.wait()
+                        _grp_dma(g + DMA_SLOTS - 1,
+                                 (g + DMA_SLOTS - 1) & (DMA_SLOTS - 1)
+                                 ).start()
+                    _grp_dma(g, g & (DMA_SLOTS - 1)).wait()
                     base = 0
+                    tri_body = make_tri_body(
+                        lambda row, i: tri_smem[g & (DMA_SLOTS - 1),
+                                                row, i])
+                elif GROUP_DMA:
+                    base = 0
+                    tri_body = make_tri_body(
+                        lambda row, i: tri_smem[g & (DMA_SLOTS - 1),
+                                                row, i])
                 else:
                     base = (g - g0r) * GROUP
+                    tri_body = make_tri_body(
+                        lambda row, i: tri_smem[row, i])
 
                 def sub_body(k, carry2):
                     c_sub, c_tri = carry2[0], carry2[1]
                     hs = carry2[2:]
                     li = g * GROUP_SUBS + k
-                    psub = _aabb_test(suba_ref, li, ox, oy, oz, inv_x,
-                                      inv_y, inv_z, cull_t(hs[0]), alive)
-                    any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
-                    n = jnp.where((any_s > 0.0) & (any_g > 0.0),
-                                  subn_ref[0, li], 0)
+                    if dbg_no_sub:
+                        n = jnp.where(any_g > 0.0, subn_ref[0, li], 0)
+                    else:
+                        psub = _aabb_test(suba_ref, li, ox, oy, oz,
+                                          inv_x, inv_y, inv_z,
+                                          cull_t(hs[0]), alive)
+                        any_s = jnp.max(jnp.where(psub, 1.0, 0.0))
+                        n = jnp.where((any_s > 0.0) & (any_g > 0.0),
+                                      subn_ref[0, li], 0)
                     c_sub = c_sub + (n > 0).astype(jnp.int32)
                     c_tri = c_tri + n
                     off = base + k * SUB
@@ -459,7 +494,8 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
                             c = tri_body(tj + u, c)
                         return c
 
-                    hs = jax.lax.fori_loop(0, (n + 3) >> 2, tri4, hs)
+                    if not dbg_no_tri:
+                        hs = jax.lax.fori_loop(0, (n + 3) >> 2, tri4, hs)
                     return (c_sub, c_tri) + hs
 
                 out = jax.lax.fori_loop(0, GROUP_SUBS, sub_body,
@@ -508,7 +544,17 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
 
             g0 = jnp.where(any_p > 0.0, g0r, 0)
             g1 = jnp.where(any_p > 0.0, topr_ref[1, ci], 0)
-            out = jax.lax.fori_loop(g0, g1, make_grp_body(g0r),
+            if GROUP_DMA and not dbg_no_dma:
+                # prime the ring: start the first DMA_SLOTS-1 groups (the
+                # loop body keeps the ring full from there)
+                @pl.when(any_p > 0.0)
+                def _():
+                    for q in range(DMA_SLOTS - 1):
+                        @pl.when(g0r + q < g1)
+                        def _(q=q):
+                            _grp_dma(g0r + q,
+                                     (g0r + q) & (DMA_SLOTS - 1)).start()
+            out = jax.lax.fori_loop(g0, g1, make_grp_body(g0r, g1),
                                     counters + hs)
             return (c_top,) + out
 
@@ -686,7 +732,8 @@ def _make_pass_kernel(width, height, spp, n_spheres, n_sph_clusters,
 def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
                block_rows, primary, is_last, node_exit, tw, th, ntx,
                interpret, tile_row_stride=1, gated_tris=False,
-               super_selection=None, debug_counts=False):
+               super_selection=None, debug_counts=False,
+               dbg_no_dma=False, dbg_no_tri=False, dbg_no_sub=False):
     (sph, sphc_b, sphc_r, subb, subn, grpb, topb, topr, order, keys,
      crunb, refp, norder, nkeys, nrunb, root, klo, khi, suba, grpa,
      topa, supa, topap, tri_hbm) = tables
@@ -717,7 +764,10 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
                                tile_row_stride=tile_row_stride,
                                gated_tris=gated_tris,
                                super_selection=super_selection,
-                               debug_counts=debug_counts)
+                               debug_counts=debug_counts,
+                               dbg_no_dma=dbg_no_dma,
+                               dbg_no_tri=dbg_no_tri,
+                               dbg_no_sub=dbg_no_sub)
 
     state_spec = pl.BlockSpec((P_STATE, R, LANES),
                               lambda i, *prefetch: (0, i, 0),
@@ -743,11 +793,17 @@ def _pass_call(tables, cam_vec, seedb, state3, *, width, height, spp,
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     args.append(tri_hbm)
 
-    scratch_shapes = [
-        pltpu.SMEM((TRI_ROWS_PAD, GROUP if GROUP_DMA else TOP_SPAN),
-                   jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
-    ]
+    if GROUP_DMA:
+        # pipelined ring of group fetches: slot g % DMA_SLOTS per group
+        scratch_shapes = [
+            pltpu.SMEM((DMA_SLOTS, TRI_ROWS_PAD, GROUP), jnp.float32),
+            pltpu.SemaphoreType.DMA((DMA_SLOTS,)),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.SMEM((TRI_ROWS_PAD, TOP_SPAN), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     use_super = (super_selection if super_selection is not None
                  else n_tops >= SUPER_MIN_TOPS)
     if (not is_last) and use_super:
@@ -930,16 +986,18 @@ def render_linear_pallas_binned(sph_table, tri_hbm, sub_bounds,
     if depth > 1:
         fin_gran = 1 if ray_regroup_bounces > 0 else regroup_granularity
         if fin_gran == 1:
-            # only the radiance leaves the pipeline: one int argsort +
-            # one (N, 3) gather instead of the 16-plane state gather
-            # (measured ~4 ms cheaper at 1M rays; a FLOAT argsort here
-            # costs ~40 ms — keep the int cast)
-            order = jnp.argsort(
-                state[_ST_SLOT].reshape(-1).astype(jnp.int32))
-            rgb = jnp.stack([state[_ST_RR].reshape(-1),
-                             state[_ST_RG].reshape(-1),
-                             state[_ST_RB].reshape(-1)],
-                            axis=-1)[order].reshape(rows_total, LANES, 3)
+            # only the radiance leaves the pipeline: one int-keyed sort
+            # carrying the three radiance planes as payloads (~1.6 ms at
+            # 1M rays vs ~5.5 ms for argsort + (N,3) gather — same
+            # payload-sort win as _regroup; slots are unique so
+            # stability is irrelevant)
+            _, fr, fg, fb = jax.lax.sort(
+                [state[_ST_SLOT].reshape(-1).astype(jnp.int32),
+                 state[_ST_RR].reshape(-1),
+                 state[_ST_RG].reshape(-1),
+                 state[_ST_RB].reshape(-1)], num_keys=1)
+            rgb = jnp.stack([fr, fg, fb],
+                            axis=-1).reshape(rows_total, LANES, 3)
         else:
             state = _regroup(state, state[_ST_SLOT].astype(jnp.int32),
                              fin_gran)
